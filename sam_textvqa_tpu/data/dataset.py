@@ -1,0 +1,414 @@
+"""TextVQA / ST-VQA datasets as an offline preprocessing pipeline + a
+fixed-shape host batcher.
+
+Reference: sam/datasets/textvqa_dataset.py + stvqa_dataset.py. Capability
+parity with a TPU-first shape:
+
+* imdb (.npy) loading, question-id sort, key filtering
+  (reference ImageDatabase :449-507, load_imdb :20-51);
+* one-time preprocessing — BERT-tokenized questions, cleaned OCR tokens,
+  PHOC + fastText features, answer->index-sequence matching, vectorized
+  spatial graphs (replacing the reference's mp.Pool(32) scalar loop,
+  :228-280);
+* per-batch dynamic answer sampling with an explicit RNG (the reference
+  samples inside ``__getitem__`` per epoch, processors.py:655-665);
+* all string/eval-side data stays host-side keyed by position — no pickled
+  byte tensors through collate (cf. tools/objects_to_byte_tensor.py).
+
+The packed arrays use compact dtypes (PHOC bit-packed, fastText f16,
+spatial classes int8); region features are fetched from the
+:class:`FeatureSource` at batch time with an optional in-memory cache
+(mirroring the reference's ``in_memory=True`` first-epoch caching).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import TaskConfig
+from ..ops.phoc import build_phoc_batch
+from ..ops.spatial_graph import build_spatial_graph
+from .features import FeatureSource, pad_features
+from .processors import (
+    AnswerMatch,
+    BertQuestionProcessor,
+    FastTextProcessor,
+    M4CAnswerProcessor,
+    word_cleaner,
+)
+from .vocab import VocabDict
+
+logger = logging.getLogger(__name__)
+
+IMDB_STORE_KEYS = [
+    "question",
+    "question_id",
+    "image_id",
+    "image_path",
+    "answers",
+    "image_height",
+    "image_width",
+    "google_ocr_tokens_filtered",
+]
+
+
+def load_imdb_entries(
+    imdb_path: str, dataset: str = "textvqa"
+) -> List[Dict]:
+    """Load + sort + filter imdb entries (reference load_imdb /
+    ImageDatabase; row 0 is metadata, entries sorted by question_id)."""
+    db = np.load(imdb_path, allow_pickle=True)
+    assert isinstance(db, np.ndarray)
+    data = sorted(db[1:], key=lambda x: x["question_id"])
+    entries = []
+    for instance in data:
+        entry = {k: instance[k] for k in IMDB_STORE_KEYS if k in instance}
+        if dataset == "stvqa":
+            # ST-VQA derives the feature key from the image path
+            # (reference stvqa_dataset.py:58)
+            entry["image_id"] = entry["image_path"].split(".")[0] + ".npy"
+        entries.append(entry)
+    return entries
+
+
+@dataclass
+class PackedEntries:
+    """Fixed-shape per-question arrays produced by offline preprocessing."""
+
+    question_indices: np.ndarray   # (N, Q) int32
+    question_mask: np.ndarray      # (N, Q) f32
+    ocr_phoc_bits: np.ndarray      # (N, OCR, ceil(604/8)) uint8, bit-packed
+    ocr_fasttext: np.ndarray       # (N, OCR, 300) f16
+    spatial_classes: np.ndarray    # (N, 150, 150) int8
+    question_id: np.ndarray        # (N,) int64 (or arange for stvqa strings)
+    image_ids: List[str]
+    ocr_tokens: List[List[str]]    # padded to OCR with "<pad>"
+    answers: List[List[str]]       # raw answers (for eval); may be empty
+    matches: List[Optional[AnswerMatch]]
+
+    def __len__(self):
+        return self.question_indices.shape[0]
+
+
+PHOC_DIM = 604
+_PHOC_PACKED = (PHOC_DIM + 7) // 8
+
+
+class SAMDataset:
+    """One split of TextVQA or ST-VQA, preprocessed and batch-servable."""
+
+    def __init__(
+        self,
+        task_cfg: TaskConfig,
+        packed: PackedEntries,
+        obj_source: FeatureSource,
+        ocr_source: FeatureSource,
+        answer_processor: M4CAnswerProcessor,
+        in_memory_features: bool = True,
+    ):
+        self.cfg = task_cfg
+        self.packed = packed
+        self.obj_source = obj_source
+        self.ocr_source = ocr_source
+        self.answer_processor = answer_processor
+        self._feat_cache: Dict[Tuple[str, str], Tuple[np.ndarray, ...]] = (
+            {} if in_memory_features else None
+        )
+
+    def __len__(self) -> int:
+        return len(self.packed)
+
+    @property
+    def num_answers(self) -> int:
+        return self.answer_processor.answer_vocab.num_vocab
+
+    def _features(self, kind: str, image_id: str):
+        key = (kind, image_id)
+        if self._feat_cache is not None and key in self._feat_cache:
+            return self._feat_cache[key]
+        source = self.obj_source if kind == "obj" else self.ocr_source
+        max_num = self.cfg.mmt.max_obj_num if kind == "obj" else self.cfg.mmt.max_ocr_num
+        feats, boxes = source.get(image_id)
+        out = pad_features(feats, boxes, max_num)
+        if self._feat_cache is not None:
+            self._feat_cache[key] = out
+        return out
+
+    def get_batch(
+        self, indices: Sequence[int], rng: Optional[np.random.RandomState] = None
+    ) -> Dict:
+        """Assemble one fixed-shape batch; ``rng`` drives dynamic answer
+        sampling (None -> deterministic zeros for answer-free eval)."""
+        cfg = self.cfg.mmt
+        bsz = len(indices)
+        p = self.packed
+        t = cfg.num_decoding_steps
+        vocab_total = self.answer_processor.get_vocab_size()
+
+        batch = {
+            "question_indices": p.question_indices[indices],
+            "question_mask": p.question_mask[indices],
+            "pad_obj_features": np.zeros((bsz, cfg.max_obj_num, 2048), np.float32),
+            "pad_obj_mask": np.zeros((bsz, cfg.max_obj_num), np.float32),
+            "pad_obj_bboxes": np.zeros((bsz, cfg.max_obj_num, 5), np.float32),
+            "pad_ocr_features": np.zeros((bsz, cfg.max_ocr_num, 2048), np.float32),
+            "pad_ocr_mask": np.zeros((bsz, cfg.max_ocr_num), np.float32),
+            "pad_ocr_bboxes": np.zeros((bsz, cfg.max_ocr_num, 5), np.float32),
+            "ocr_fasttext": p.ocr_fasttext[indices].astype(np.float32),
+            "ocr_phoc": np.unpackbits(
+                p.ocr_phoc_bits[indices], axis=-1
+            )[..., :PHOC_DIM].astype(np.float32),
+            "spatial_classes": p.spatial_classes[indices],
+            "train_prev_inds": np.zeros((bsz, t), np.int32),
+            "train_loss_mask": np.zeros((bsz, t), np.float32),
+            "targets": np.zeros((bsz, t, vocab_total), np.float32),
+            "question_id": p.question_id[indices],
+            "_ocr_tokens": [p.ocr_tokens[i] for i in indices],
+            "_answers": [p.answers[i] for i in indices],
+        }
+        for row, i in enumerate(indices):
+            image_id = p.image_ids[i]
+            of, om, ob = self._features("obj", image_id)
+            cf, cm, cb = self._features("ocr", image_id)
+            batch["pad_obj_features"][row] = of
+            batch["pad_obj_mask"][row] = om
+            batch["pad_obj_bboxes"][row] = ob
+            batch["pad_ocr_features"][row] = cf
+            batch["pad_ocr_mask"][row] = cm
+            batch["pad_ocr_bboxes"][row] = cb
+            match = p.matches[i]
+            if match is not None and rng is not None:
+                sampled = self.answer_processor.sample_decoding_targets(match, rng)
+                batch["train_prev_inds"][row] = sampled["train_prev_inds"]
+                batch["train_loss_mask"][row] = sampled["train_loss_mask"]
+                batch["targets"][row] = sampled["targets"]
+        return batch
+
+
+def preprocess_split(
+    task_cfg: TaskConfig,
+    entries: List[Dict],
+    tokenizer,
+    fasttext: FastTextProcessor,
+    answer_processor: M4CAnswerProcessor,
+    cache_path: Optional[str] = None,
+) -> PackedEntries:
+    """Offline phase: tokenize, featurize OCR, match answers, build spatial
+    graphs (vectorized, batched). Caches to ``cache_path`` if given
+    (analogue of the reference's pickle cache, textvqa_dataset.py:142-180).
+
+    Spatial graphs here need the padded obj+ocr boxes; this function expects
+    each entry to carry ``_pad_joint_boxes`` (N,150,4) injected by
+    :func:`build_dataset` after reading the feature sources.
+    """
+    if cache_path and os.path.exists(cache_path) and not task_cfg.debug:
+        logger.info("loading preprocessed cache %s", cache_path)
+        with open(cache_path, "rb") as f:
+            return pickle.load(f)
+
+    q_proc = BertQuestionProcessor(tokenizer, task_cfg.mmt.max_seq_length)
+    n = len(entries)
+    n_ocr = task_cfg.mmt.max_ocr_num
+    n_joint = task_cfg.mmt.max_obj_num + n_ocr
+
+    packed = PackedEntries(
+        question_indices=np.zeros((n, task_cfg.mmt.max_seq_length), np.int32),
+        question_mask=np.zeros((n, task_cfg.mmt.max_seq_length), np.float32),
+        ocr_phoc_bits=np.zeros((n, n_ocr, _PHOC_PACKED), np.uint8),
+        ocr_fasttext=np.zeros((n, n_ocr, fasttext.dim), np.float16),
+        spatial_classes=np.zeros((n, n_joint, n_joint), np.int8),
+        question_id=np.zeros(n, np.int64),
+        image_ids=[],
+        ocr_tokens=[],
+        answers=[],
+        matches=[],
+    )
+
+    joint_boxes = np.zeros((n, n_joint, 4), np.float32)
+    for i, entry in enumerate(entries):
+        q = q_proc(entry["question"])
+        packed.question_indices[i] = q["question_indices"]
+        packed.question_mask[i] = q["question_mask"]
+        qid = entry["question_id"]
+        packed.question_id[i] = int(qid) if not isinstance(qid, str) else i
+        packed.image_ids.append(str(entry["image_id"]))
+
+        cleaned = [
+            word_cleaner(w)
+            for w in entry.get("google_ocr_tokens_filtered", [])
+        ][:n_ocr]
+        padded_tokens = cleaned + ["<pad>"] * (n_ocr - len(cleaned))
+        packed.ocr_tokens.append(padded_tokens)
+        if cleaned:
+            phoc = build_phoc_batch(cleaned)
+            packed.ocr_phoc_bits[i, : len(cleaned)] = np.packbits(
+                phoc.astype(np.uint8), axis=-1
+            )
+            packed.ocr_fasttext[i, : len(cleaned)] = fasttext(cleaned, n_ocr)[
+                : len(cleaned)
+            ]
+
+        if "answers" in entry:
+            answers = list(entry["answers"])
+            packed.answers.append(answers)
+            cleaned_answers = (
+                [word_cleaner(a) for a in answers]
+                if task_cfg.clean_answers
+                else answers
+            )
+            packed.matches.append(
+                answer_processor.match(cleaned_answers, cleaned)
+            )
+        else:
+            packed.answers.append([])
+            packed.matches.append(None)
+
+        if "_pad_joint_boxes" in entry:
+            joint_boxes[i] = entry["_pad_joint_boxes"]
+
+    if task_cfg.needs_spatial:
+        # vectorized spatial graphs, chunked to bound peak memory
+        chunk = 64
+        for s in range(0, n, chunk):
+            packed.spatial_classes[s : s + chunk] = build_spatial_graph(
+                joint_boxes[s : s + chunk], task_cfg.distance_threshold
+            )
+
+    if cache_path and not task_cfg.debug:
+        os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+        with open(cache_path, "wb") as f:
+            pickle.dump(packed, f)
+    return packed
+
+
+def build_dataset(
+    task_cfg: TaskConfig,
+    dataset: str,
+    split: str,
+    tokenizer,
+    fasttext: FastTextProcessor,
+    answer_vocab: VocabDict,
+    obj_source: FeatureSource,
+    ocr_source: FeatureSource,
+    cache_path: Optional[str] = None,
+) -> SAMDataset:
+    """End-to-end split construction from imdb + feature sources."""
+    prefix = "textvqa" if dataset == "textvqa" else "stvqa"
+    imdb_holder = getattr(task_cfg, f"{prefix}_imdb")
+    imdb_path = imdb_holder.format("debug" if task_cfg.debug else split)
+    entries = load_imdb_entries(imdb_path, dataset)
+
+    answer_processor = M4CAnswerProcessor(
+        answer_vocab,
+        max_copy_steps=task_cfg.mmt.num_decoding_steps,
+        max_ocr_tokens=task_cfg.mmt.max_ocr_num,
+    )
+
+    # read padded joint boxes for the spatial graphs (reference
+    # process_spatials, textvqa_dataset.py:228-266)
+    mmt = task_cfg.mmt
+    for entry in entries:
+        image_id = str(entry["image_id"])
+        of, ob_boxes = obj_source.get(image_id)
+        cf, oc_boxes = ocr_source.get(image_id)
+        _, _, pad_ob = pad_features(of, ob_boxes, mmt.max_obj_num)
+        _, _, pad_oc = pad_features(cf, oc_boxes, mmt.max_ocr_num)
+        entry["_pad_joint_boxes"] = np.concatenate(
+            [pad_ob[:, :4], pad_oc[:, :4]], axis=0
+        )
+
+    packed = preprocess_split(
+        task_cfg, entries, tokenizer, fasttext, answer_processor, cache_path
+    )
+    return SAMDataset(task_cfg, packed, obj_source, ocr_source, answer_processor)
+
+
+class ConcatDataset:
+    """Joint training over multiple datasets with one index space
+    (reference task_utils.py:150-156 uses torch ConcatDataset)."""
+
+    def __init__(self, datasets: Sequence[SAMDataset]):
+        self.datasets = list(datasets)
+        self.offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self) -> int:
+        return int(self.offsets[-1])
+
+    @property
+    def answer_processor(self):
+        return self.datasets[0].answer_processor
+
+    def get_batch(self, indices, rng=None) -> Dict:
+        # group by source dataset, fetch, then re-interleave in order
+        indices = np.asarray(indices)
+        ds_idx = np.searchsorted(self.offsets, indices, side="right") - 1
+        batches = {}
+        order = {}
+        for d in np.unique(ds_idx):
+            sel = np.where(ds_idx == d)[0]
+            local = indices[sel] - self.offsets[d]
+            batches[d] = self.datasets[d].get_batch(local.tolist(), rng)
+            order[d] = sel
+        out = {}
+        first = batches[list(batches)[0]]
+        n = len(indices)
+        for key, val in first.items():
+            if key.startswith("_"):
+                merged = [None] * n
+                for d, sel in order.items():
+                    for j, pos in enumerate(sel):
+                        merged[pos] = batches[d][key][j]
+                out[key] = merged
+            else:
+                merged = np.zeros((n,) + val.shape[1:], val.dtype)
+                for d, sel in order.items():
+                    merged[sel] = batches[d][key]
+                out[key] = merged
+        return out
+
+
+class EpochBatcher:
+    """Shuffled fixed-size batches per epoch (drop_last=False like the
+    reference DataLoader, task_utils.py:156-164)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        pad_final: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.pad_final = pad_final
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def epoch_batches(self):
+        n = len(self.dataset)
+        rng = np.random.RandomState(self.seed + self.epoch)
+        order = rng.permutation(n) if self.shuffle else np.arange(n)
+        for s in range(0, n, self.batch_size):
+            idx = order[s : s + self.batch_size]
+            pad_to = self.batch_size if self.pad_final else len(idx)
+            real = len(idx)
+            if real < pad_to:
+                # fixed shapes for XLA: repeat-pad the final batch and mark
+                # the padding via _real_count so metrics ignore it
+                idx = np.concatenate([idx, order[: pad_to - real]])
+            batch = self.dataset.get_batch(idx.tolist(), rng)
+            batch["_real_count"] = real
+            yield batch
+        self.epoch += 1

@@ -1,0 +1,294 @@
+"""Host-side preprocessing processors.
+
+Capability parity with reference sam/datasets/processors.py, reorganized as
+an offline pipeline: everything deterministic is computed once (tokenize,
+PHOC, fastText, answer matching); the only per-step random op — the
+reference's *dynamic answer sampling* inside ``__getitem__``
+(processors.py:655-680) — is isolated into :func:`sample_decoding_targets`
+which the input pipeline calls per batch with an explicit RNG.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .vocab import SpecialIds, VocabDict
+
+
+def word_cleaner(word: str) -> str:
+    """Reference Processors.word_cleaner (processors.py:746-750)."""
+    word = word.lower()
+    word = word.replace(",", "").replace("?", "").replace("'s", " 's")
+    return word.strip()
+
+
+class BertQuestionProcessor:
+    """Tokenize + pad a question to ``max_length`` ids
+    (reference BertTokenizerProcessor, processors.py:467-498).
+
+    Takes any tokenizer exposing ``encode(text, add_special_tokens=True)``
+    (e.g. transformers' BertTokenizer(Fast)); asserts PAD==0 like the
+    reference.
+    """
+
+    def __init__(self, tokenizer, max_length: int = 20):
+        self.max_length = max_length
+        self.tokenizer = tokenizer
+        assert tokenizer.encode(
+            tokenizer.pad_token, add_special_tokens=False
+        ) == [0]
+
+    def __call__(self, question: str) -> Dict[str, np.ndarray]:
+        token_inds = np.zeros(self.max_length, dtype=np.int32)
+        tokens_mask = np.zeros(self.max_length, dtype=np.float32)
+        indices = self.tokenizer.encode(question, add_special_tokens=True)
+        indices = indices[: self.max_length]
+        token_inds[: len(indices)] = indices
+        tokens_mask[: len(indices)] = 1.0
+        return {
+            "question_indices": token_inds,
+            "question_mask": tokens_mask,
+            "num_question_tokens": len(indices),
+        }
+
+
+class SimpleWordpieceTokenizer:
+    """Offline-safe fallback tokenizer with BERT-style interface, used when
+    the bert-base-uncased vocab cannot be fetched (zero-egress container).
+    Hash-bucketed word ids; [CLS]/[SEP]/[PAD] at BERT's conventional ids."""
+
+    pad_token = "[PAD]"
+    cls_id, sep_id, pad_id = 101, 102, 0
+    vocab_size = 30522
+
+    def encode(self, text: str, add_special_tokens: bool = True) -> List[int]:
+        if text == self.pad_token:
+            return [self.pad_id]
+        words = text.lower().split()
+        # buckets avoid ids 0-999 (special/unused range in bert vocab)
+        ids = [1000 + (hash(w) % (self.vocab_size - 1000)) for w in words]
+        if add_special_tokens:
+            ids = [self.cls_id] + ids + [self.sep_id]
+        return ids
+
+
+def load_bert_tokenizer():
+    """transformers BertTokenizer if its files are available locally, else
+    the hash fallback (logged by caller)."""
+    try:
+        from transformers import BertTokenizerFast
+
+        return BertTokenizerFast.from_pretrained(
+            "bert-base-uncased", local_files_only=True
+        )
+    except Exception:
+        return SimpleWordpieceTokenizer()
+
+
+class FastTextProcessor:
+    """300-d OCR word vectors (reference FastTextProcessor,
+    processors.py:181-226: mean over space-split subwords).
+
+    Backends: the real fastText .bin (if the native lib + model file exist),
+    a precomputed ``{word: vector}`` table, or a deterministic hash fallback
+    so the pipeline runs hermetically.
+    """
+
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        table: Optional[Dict[str, np.ndarray]] = None,
+        dim: int = 300,
+    ):
+        self.dim = dim
+        self.model = None
+        self.table = table
+        if model_path:
+            from fasttext import load_model  # native lib; optional
+
+            self.model = load_model(model_path)
+            self.dim = self.model.get_dimension()
+
+    def _vector(self, word: str) -> np.ndarray:
+        if self.model is not None:
+            return np.mean(
+                [self.model.get_word_vector(w) for w in word.split(" ")], axis=0
+            )
+        if self.table is not None:
+            vecs = [
+                self.table.get(w, np.zeros(self.dim, np.float32))
+                for w in word.split(" ")
+            ]
+            return np.mean(vecs, axis=0)
+        # hash fallback: unit-normal-ish deterministic vector per word
+        vecs = []
+        for w in word.split(" "):
+            rng = np.random.RandomState(abs(hash(w)) % (2**31))
+            vecs.append(rng.randn(self.dim).astype(np.float32) * 0.1)
+        return np.mean(vecs, axis=0)
+
+    def __call__(self, tokens: Sequence[str], max_length: int = 50) -> np.ndarray:
+        out = np.zeros((max_length, self.dim), dtype=np.float32)
+        for i, tok in enumerate(tokens[:max_length]):
+            out[i] = self._vector(tok)
+        return out
+
+
+def match_answer_to_vocab_ocr_seq(
+    answer: str,
+    vocab2idx: Dict[str, int],
+    ocr2inds: Dict[str, List[int]],
+    max_match_num: int = 20,
+) -> List[Tuple[int, ...]]:
+    """All decoding index sequences matching an answer
+    (reference processors.py:542-578): each word may resolve to the fixed
+    vocab and/or any OCR slot (offset by the vocab size)."""
+    num_vocab = len(vocab2idx)
+    answer_word_matches = []
+    for word in answer.split():
+        matched = []
+        if word in vocab2idx:
+            matched.append(vocab2idx[word])
+        matched.extend(num_vocab + i for i in ocr2inds.get(word, []))
+        if not matched:
+            return []
+        answer_word_matches.append(matched)
+    if not answer_word_matches:
+        return []
+    seqs: List[Tuple[int, ...]] = [()]
+    for matched in answer_word_matches:
+        seqs = [s + (i,) for s in seqs for i in matched]
+        if len(seqs) > max_match_num:
+            seqs = seqs[:max_match_num]
+    return seqs
+
+
+def unique_answer_scores(answers: Sequence[str]) -> Dict[str, float]:
+    """Leave-one-out 10-annotator soft scores on the *raw* (cleaned) answers
+    (reference processors.py:592-608)."""
+    gt = list(enumerate(answers))
+    out: Dict[str, float] = {}
+    for ua in sorted(set(answers)):
+        accs = []
+        for g in gt:
+            others = [o for o in gt if o != g]
+            matching = [o for o in others if o[1] == ua]
+            accs.append(min(1.0, len(matching) / 3.0))
+        out[ua] = sum(accs) / len(accs)
+    return out
+
+
+@dataclass
+class AnswerMatch:
+    """Precomputed per-sample decoding supervision (everything except the
+    random sequence choice)."""
+
+    idx_seqs: List[Tuple[int, ...]]          # all candidate sequences
+    step0_scores: List[Tuple[int, float]]    # sparse (index, score) at t=0
+    ocr2inds: Dict[str, List[int]]
+    context_tokens: List[str]
+
+
+class M4CAnswerProcessor:
+    """Decoding-target builder (reference M4CAnswerProcessor,
+    processors.py:501-707), split into a deterministic :meth:`match` phase
+    and a random :func:`sample_decoding_targets` phase."""
+
+    def __init__(
+        self,
+        answer_vocab: VocabDict,
+        max_copy_steps: int = 12,
+        num_answers: int = 10,
+        max_ocr_tokens: int = 50,
+    ):
+        self.answer_vocab = answer_vocab
+        self.special = answer_vocab.special_ids()
+        self.max_copy_steps = max_copy_steps
+        self.num_answers = num_answers
+        self.max_ocr_tokens = max_ocr_tokens
+        assert self.max_copy_steps >= 1
+
+    def get_vocab_size(self) -> int:
+        return self.answer_vocab.num_vocab + self.max_ocr_tokens
+
+    def match(
+        self, answers: Sequence[str], context_tokens: Sequence[str]
+    ) -> AnswerMatch:
+        context_tokens = list(context_tokens)[: self.max_ocr_tokens]
+        assert len(answers) == self.num_answers
+
+        scores_by_answer = unique_answer_scores(answers)
+        ocr2inds: Dict[str, List[int]] = defaultdict(list)
+        for idx, token in enumerate(context_tokens):
+            ocr2inds[token].append(idx)
+
+        all_seqs: List[Tuple[int, ...]] = []
+        step0: Dict[int, float] = {}
+        for answer in answers:
+            seqs = match_answer_to_vocab_ocr_seq(
+                answer, self.answer_vocab.word2idx_dict, ocr2inds
+            )
+            all_seqs.extend(seqs)
+            score = scores_by_answer[answer]
+            for seq in seqs:
+                i0 = seq[0]
+                step0[i0] = max(step0.get(i0, 0.0), score)
+        return AnswerMatch(
+            idx_seqs=all_seqs,
+            step0_scores=sorted(step0.items()),
+            ocr2inds=dict(ocr2inds),
+            context_tokens=context_tokens,
+        )
+
+    def all_indices_for(self, match: AnswerMatch, score_idx: int) -> List[int]:
+        """Activate the same word in both vocab and OCR index spaces
+        (reference get_all_indices, processors.py:694-707)."""
+        num_vocab = len(self.answer_vocab)
+        out = [score_idx]
+        if score_idx >= num_vocab:
+            word = match.context_tokens[score_idx - num_vocab]
+            assert word != "<pad>"
+            vocab_idx = self.answer_vocab.word2idx(word)
+            if vocab_idx != self.special.unk:
+                out.append(vocab_idx)
+        else:
+            word = self.answer_vocab.idx2word(score_idx)
+            out.extend(num_vocab + i for i in match.ocr2inds.get(word, []))
+        return out
+
+    def sample_decoding_targets(
+        self, match: AnswerMatch, rng: np.random.RandomState
+    ) -> Dict[str, np.ndarray]:
+        """Per-step random teacher-forcing sample
+        (reference processors.py:648-692)."""
+        t = self.max_copy_steps
+        vocab_total = self.get_vocab_size()
+        scores = np.zeros((t, vocab_total), dtype=np.float32)
+        for idx, score in match.step0_scores:
+            scores[0, idx] = score
+        prev_inds = np.zeros(t, dtype=np.int32)
+        loss_mask = np.zeros(t, dtype=np.float32)
+        acc_mask = np.zeros(t, dtype=np.float32)
+
+        if match.idx_seqs:
+            seq = match.idx_seqs[rng.choice(len(match.idx_seqs))]
+            dec_step_num = min(1 + len(seq), t)
+            loss_mask[:dec_step_num] = 1.0
+            acc_mask[: dec_step_num - 1] = 1.0
+            prev_inds[0] = self.special.bos
+            for step in range(1, dec_step_num):
+                prev_inds[step] = seq[step - 1]
+                score_idx = seq[step] if step < len(seq) else self.special.eos
+                for idx in self.all_indices_for(match, score_idx):
+                    assert idx != self.special.unk
+                    scores[step, idx] = 1.0
+        return {
+            "targets": scores,
+            "train_prev_inds": prev_inds,
+            "train_loss_mask": loss_mask,
+            "train_acc_mask": acc_mask,
+        }

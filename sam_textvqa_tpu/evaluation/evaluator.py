@@ -1,0 +1,186 @@
+"""Evaluation driver: greedy / beam decode over a split, EvalAI-format
+prediction dumps, VQA / STVQA / ANLS accuracy.
+
+Reference: evaluator.py (run_model_no_beam :162-176, evaluate_no_beam
+:52-63, beam path :67-160) and the metric dispatch in task_utils.py:60-67.
+String-side work stays host-side keyed by batch position (no byte-tensor
+round trips), and decoding runs as one jitted scan per batch.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.vocab import SpecialIds, VocabDict
+from .metrics import (
+    STVQAAccuracyEvaluator,
+    STVQAANLSEvaluator,
+    TextVQAAccuracyEvaluator,
+    decode_predictions,
+)
+
+logger = logging.getLogger(__name__)
+
+METRIC_EVALUATORS = {
+    "textvqa": TextVQAAccuracyEvaluator,
+    "stvqa": STVQAAccuracyEvaluator,
+    "anls": STVQAANLSEvaluator,
+}
+
+
+class Evaluator:
+    def __init__(
+        self,
+        model,
+        answer_vocab: VocabDict,
+        metric: str = "textvqa",
+    ):
+        self.model = model
+        self.answer_vocab = answer_vocab
+        self.special = answer_vocab.special_ids()
+        self.metric_evaluator = METRIC_EVALUATORS[metric]()
+        self._greedy = None
+
+    def _greedy_fn(self):
+        if self._greedy is None:
+            from ..models.sa_m4c import greedy_decode
+
+            bos = self.special.bos
+
+            @jax.jit
+            def fn(params, device_batch):
+                return greedy_decode(self.model, params, device_batch, bos)
+
+            self._greedy = fn
+        return self._greedy
+
+    def run_split(
+        self,
+        params,
+        batches,
+        device_put=None,
+    ) -> Dict:
+        """Greedy-decode every batch; returns accuracy + EvalAI predictions.
+
+        ``batches`` yields host batch dicts (with ``_ocr_tokens``,
+        ``_answers``, ``question_id`` and optionally ``_real_count``).
+        """
+        greedy = self._greedy_fn()
+        all_preds: List[Dict] = []
+        scored_preds: List[Dict] = []
+        for batch in batches:
+            host_only = {k: v for k, v in batch.items() if k.startswith("_")}
+            device_batch = {
+                k: v for k, v in batch.items() if not k.startswith("_")
+            }
+            qids = np.asarray(device_batch.pop("question_id"))
+            device_batch = {k: jnp.asarray(v) for k, v in device_batch.items()}
+            if device_put is not None:
+                device_batch = device_put(device_batch)
+            _, pred_ids = greedy(params, device_batch)
+            pred_ids = np.asarray(pred_ids)
+            decoded = decode_predictions(
+                pred_ids,
+                host_only["_ocr_tokens"],
+                self.answer_vocab.word_list,
+                self.special.eos,
+            )
+            real = host_only.get("_real_count", pred_ids.shape[0])
+            for i in range(real):
+                entry = {
+                    "question_id": int(qids[i]),
+                    "pred_answer": decoded[i]["pred_answer"],
+                    "belongs_to": decoded[i]["belongs_to"],
+                }
+                gt = host_only["_answers"][i]
+                if gt:
+                    scored_preds.append({**entry, "gt_answers": list(gt)})
+                all_preds.append(entry)
+
+        accuracy = None
+        if scored_preds:
+            accuracy, _ = self.metric_evaluator.eval_pred_list(scored_preds)
+        return {
+            "accuracy": accuracy,
+            "predictions": all_preds,
+            "num_scored": len(scored_preds),
+        }
+
+    def dump_evalai(self, result: Dict, out_path: str) -> str:
+        """EvalAI-format JSON dump (reference evaluator.py:52-63)."""
+        payload = [
+            {"question_id": p["question_id"], "answer": p["pred_answer"]}
+            for p in result["predictions"]
+        ]
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(payload, f)
+        logger.info("dumped %d predictions to %s", len(payload), out_path)
+        return out_path
+
+    def run_split_beam(
+        self,
+        params,
+        batches,
+        beam_size: int,
+    ) -> Dict:
+        """Beam-search decode; per-question best-beam answer
+        (reference evaluator.py:304-356 picks argmax topkscores)."""
+        from ..models.beam_search import beam_search_decode
+
+        bos, eos = self.special.bos, self.special.eos
+
+        @jax.jit
+        def beam_fn(p, device_batch):
+            return beam_search_decode(
+                self.model, p, device_batch, beam_size, bos, eos
+            )
+
+        all_preds: List[Dict] = []
+        scored_preds: List[Dict] = []
+        for batch in batches:
+            host_only = {k: v for k, v in batch.items() if k.startswith("_")}
+            device_batch = {
+                k: v for k, v in batch.items() if not k.startswith("_")
+            }
+            qids = np.asarray(device_batch.pop("question_id"))
+            device_batch = {k: jnp.asarray(v) for k, v in device_batch.items()}
+            seqs, scores = beam_fn(params, device_batch)
+            seqs = np.asarray(seqs)      # (B, K, T) incl. BOS at 0
+            scores = np.asarray(scores)  # (B, K)
+            best = np.argmax(scores, axis=1)
+            real = host_only.get("_real_count", seqs.shape[0])
+            for i in range(real):
+                ids = seqs[i, best[i], 1:]  # drop BOS (reference :333)
+                decoded = decode_predictions(
+                    ids[None],
+                    [host_only["_ocr_tokens"][i]],
+                    self.answer_vocab.word_list,
+                    eos,
+                )[0]
+                entry = {
+                    "question_id": int(qids[i]),
+                    "pred_answer": decoded["pred_answer"],
+                    "topkscore": float(scores[i, best[i]]),
+                }
+                gt = host_only["_answers"][i]
+                if gt:
+                    scored_preds.append({**entry, "gt_answers": list(gt)})
+                all_preds.append(entry)
+
+        accuracy = None
+        if scored_preds:
+            accuracy, _ = self.metric_evaluator.eval_pred_list(scored_preds)
+        return {
+            "accuracy": accuracy,
+            "predictions": all_preds,
+            "num_scored": len(scored_preds),
+        }

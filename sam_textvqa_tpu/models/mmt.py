@@ -1,0 +1,232 @@
+"""Multimodal transformer (MMT) over the joint
+[question; objects; OCR; decoder] stream, with interleaved normal/spatial
+layers, previous-prediction embeddings, and the OCR pointer network.
+
+Reference: MMT / BertSpatialEncoder / PrevPredEmbeddings / OcrPtrNet in
+sam/sa_m4c.py:687-948. Capability-identical, TPU-first:
+
+* prefix-LM + causal-decoder mask kept boolean until the softmax;
+* each spatial context key's combined mask is built once per forward and
+  shared across the layers consuming it (the reference rebuilds per layer);
+* output slicing uses static offsets (all lengths are fixed).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import MATRIX_TYPE_MAP, MMTConfig
+from ..ops.spatial_graph import relation_head_lut
+from .bert import BertLayer
+from .layers import Dense, LayerNormTF, MASK_BIAS, causal_mask
+from .spatial import SpatialBertLayer, build_spatial_allowed
+
+
+class PrevPredEmbeddings(nn.Module):
+    """Embeddings of previous decoding steps (reference sa_m4c.py:900-948).
+
+    The answer-vocab embedding table is the (tied) classifier weight; OCR
+    token embeddings are the OCR encoder outputs. Position + type embeddings
+    are added after a shared LayerNorm.
+    """
+
+    hidden_size: int = 768
+    hidden_dropout_prob: float = 0.1
+    layer_norm_eps: float = 1e-12
+    dtype: jnp.dtype = jnp.float32
+
+    MAX_DEC_LENGTH = 100
+    MAX_TYPE_NUM = 5
+
+    @nn.compact
+    def __call__(self, ans_emb, ocr_emb, prev_inds, deterministic=True):
+        b, seq_len = prev_inds.shape
+        ans_num = ans_emb.shape[0]
+
+        ans_emb = LayerNormTF(
+            epsilon=self.layer_norm_eps, dtype=self.dtype, name="ans_layer_norm"
+        )(ans_emb.astype(self.dtype))
+        ocr_emb = LayerNormTF(
+            epsilon=self.layer_norm_eps, dtype=self.dtype, name="ocr_layer_norm"
+        )(ocr_emb)
+        ans_ocr = jnp.concatenate(
+            [jnp.broadcast_to(ans_emb[None], (b,) + ans_emb.shape), ocr_emb], axis=1
+        )
+        raw_dec_emb = jnp.take_along_axis(
+            ans_ocr, prev_inds[:, :, None].astype(jnp.int32), axis=1
+        )
+
+        position_embeddings = self.param(
+            "position_embeddings",
+            nn.initializers.normal(0.02),
+            (self.MAX_DEC_LENGTH, self.hidden_size),
+            jnp.float32,
+        )
+        token_type_embeddings = self.param(
+            "token_type_embeddings",
+            nn.initializers.normal(0.02),
+            (self.MAX_TYPE_NUM, self.hidden_size),
+            jnp.float32,
+        )
+        # type 0 = fixed vocab, 1 = OCR copy (reference :940-942)
+        token_type_ids = (prev_inds >= ans_num).astype(jnp.int32)
+        emb = (
+            position_embeddings[None, :seq_len]
+            + jnp.take(token_type_embeddings, token_type_ids, axis=0)
+        ).astype(self.dtype)
+        emb = LayerNormTF(
+            epsilon=self.layer_norm_eps, dtype=self.dtype, name="emb_layer_norm"
+        )(emb)
+        emb = nn.Dropout(rate=self.hidden_dropout_prob)(
+            emb, deterministic=deterministic
+        )
+        return raw_dec_emb + emb
+
+
+class OcrPtrNet(nn.Module):
+    """Pointer network scoring decoder states against OCR outputs
+    (reference sa_m4c.py:866-897)."""
+
+    hidden_size: int = 768
+    query_key_size: int = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query_inputs, key_inputs, attention_mask):
+        q = Dense(self.query_key_size, dtype=self.dtype, name="query")(query_inputs)
+        k = Dense(self.query_key_size, dtype=self.dtype, name="key")(key_inputs)
+        scores = jnp.einsum("btd,bkd->btk", q, k) / jnp.sqrt(
+            self.query_key_size
+        ).astype(self.dtype)
+        bias = ((1.0 - attention_mask) * MASK_BIAS)[:, None, :]
+        return scores + bias.astype(scores.dtype)
+
+
+class MMT(nn.Module):
+    """Joint-stream transformer (reference MMT, sa_m4c.py:773-863)."""
+
+    config: MMTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        text_bert_emb,
+        obj_mmt_in,
+        ocr_mmt_in,
+        fixed_ans_emb,
+        prev_inds,
+        question_mask,
+        obj_mask,
+        ocr_mask,
+        spatial_classes,
+        deterministic=True,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.config
+        dec_emb = PrevPredEmbeddings(
+            hidden_size=cfg.hidden_size,
+            hidden_dropout_prob=cfg.hidden_dropout_prob,
+            layer_norm_eps=cfg.layer_norm_eps,
+            dtype=self.dtype,
+            name="prev_pred_embeddings",
+        )(fixed_ans_emb, ocr_mmt_in, prev_inds, deterministic)
+
+        x = jnp.concatenate([text_bert_emb, obj_mmt_in, ocr_mmt_in, dec_emb], axis=1)
+        b, length, _ = x.shape
+        dec_len = dec_emb.shape[1]
+
+        # prefix-LM base mask: everything attends to unpadded encoder
+        # positions; the decoder block is causal (reference :793-845).
+        dec_zeros = jnp.zeros((b, dec_len), dtype=question_mask.dtype)
+        col_mask = jnp.concatenate(
+            [question_mask, obj_mask, ocr_mask, dec_zeros], axis=1
+        )
+        base_ok = jnp.broadcast_to(
+            (col_mask > 0)[:, None, None, :], (b, 1, length, length)
+        )
+        causal = causal_mask(dec_len) > 0
+        base_ok = base_ok.at[:, :, -dec_len:, -dec_len:].set(
+            causal[None, None] | base_ok[:, :, -dec_len:, -dec_len:]
+        )
+        # base bias for normal layers
+        base_bias = jnp.where(base_ok, 0.0, MASK_BIAS).astype(jnp.float32)
+
+        # combined boolean masks per spatial context key, built once
+        num_implicit = (
+            cfg.num_implicit_relations if "i" in cfg.layer_type_list else 0
+        )
+        combined: Dict[str, jnp.ndarray] = {}
+        for layer_type, mix in zip(cfg.layer_type_list, cfg.mix_list):
+            if layer_type not in ("s", "i"):
+                continue
+            key = MATRIX_TYPE_MAP[mix]
+            cache_key = (key, layer_type)  # 'i' layers carry extra heads
+            if cache_key in combined:
+                continue
+            allowed = build_spatial_allowed(
+                spatial_classes,
+                jnp.asarray(relation_head_lut(key)),
+                question_len=cfg.max_seq_length,
+                decode_len=dec_len,
+                mask_quadrants=cfg.attention_mask_quadrants,
+                num_spatial_heads=cfg.num_spatial_relations,
+                num_implicit_heads=num_implicit if layer_type == "i" else 0,
+            )
+            combined[cache_key] = allowed & base_ok
+
+        # interleave layers per layer_type_list (reference :738-752)
+        n_i = s_i = i_i = 0
+        for layer_type, mix in zip(cfg.layer_type_list, cfg.mix_list):
+            if layer_type == "n":
+                x = BertLayer(
+                    hidden_size=cfg.hidden_size,
+                    num_heads=cfg.num_attention_heads,
+                    intermediate_size=cfg.intermediate_size,
+                    hidden_dropout_prob=cfg.hidden_dropout_prob,
+                    attention_probs_dropout_prob=cfg.attention_probs_dropout_prob,
+                    layer_norm_eps=cfg.layer_norm_eps,
+                    dtype=self.dtype,
+                    name=f"normal_layer_{n_i}",
+                )(x, base_bias, deterministic)
+                n_i += 1
+            elif layer_type == "s":
+                x = SpatialBertLayer(
+                    hidden_size=cfg.hidden_size,
+                    num_heads=cfg.num_spatial_relations,
+                    intermediate_size=cfg.intermediate_size,
+                    hidden_dropout_prob=cfg.hidden_dropout_prob,
+                    attention_probs_dropout_prob=cfg.attention_probs_dropout_prob,
+                    layer_norm_eps=cfg.layer_norm_eps,
+                    use_head_bias=cfg.use_bias,
+                    dtype=self.dtype,
+                    name=f"spatial_layer_{s_i}",
+                )(x, combined[(MATRIX_TYPE_MAP[mix], "s")], deterministic)
+                s_i += 1
+            elif layer_type == "i":
+                x = SpatialBertLayer(
+                    hidden_size=cfg.hidden_size,
+                    num_heads=cfg.num_spatial_relations + cfg.num_implicit_relations,
+                    intermediate_size=cfg.intermediate_size,
+                    hidden_dropout_prob=cfg.hidden_dropout_prob,
+                    attention_probs_dropout_prob=cfg.attention_probs_dropout_prob,
+                    layer_norm_eps=cfg.layer_norm_eps,
+                    use_head_bias=cfg.use_bias,
+                    dtype=self.dtype,
+                    name=f"implicit_layer_{i_i}",
+                )(x, combined[(MATRIX_TYPE_MAP[mix], "i")], deterministic)
+                i_i += 1
+            else:
+                raise ValueError(layer_type)
+
+        txt_len = cfg.max_seq_length
+        ocr_begin = txt_len + cfg.max_obj_num
+        ocr_end = ocr_begin + cfg.max_ocr_num
+        return {
+            "mmt_seq_output": x,
+            "mmt_txt_output": x[:, :txt_len],
+            "mmt_ocr_output": x[:, ocr_begin:ocr_end],
+            "mmt_dec_output": x[:, -dec_len:],
+        }

@@ -1,0 +1,154 @@
+"""Training driver: epoch loop, per-epoch validation, best-checkpoint save,
+resume.
+
+Reference: the train loop in train.py:122-192 (epoch/iter loops, loss/acc
+window logging every 20 steps, LR logging every 100, per-epoch greedy val,
+best-val checkpoint). Differences by design:
+* one jitted step (grads + clip + Adam + schedule) instead of 4 framework
+  calls;
+* async dispatch — host metrics are fetched with a 1-step delay so the TPU
+  never waits on Python;
+* true resume (reference hard-codes start step 0, train.py:104).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TaskConfig
+from ..data.dataset import EpochBatcher
+from ..evaluation.evaluator import Evaluator
+from ..training.optimizer import make_optimizer
+from ..training.step import TrainState, create_train_state, make_train_step
+from ..utils.checkpoint import restore_checkpoint, save_checkpoint
+
+logger = logging.getLogger(__name__)
+
+
+def _device_view(batch: Dict) -> Dict:
+    return {
+        k: v
+        for k, v in batch.items()
+        if not k.startswith("_") and k != "question_id"
+    }
+
+
+def _batch_accuracy(pred_ids, batch, answer_vocab, eos_idx, metric_evaluator):
+    """Teacher-forced train accuracy on the host (reference computes the VQA
+    soft metric every step on decoded argmaxes, task_utils.py:130-133)."""
+    from ..evaluation.metrics import decode_predictions
+
+    real = batch.get("_real_count", pred_ids.shape[0])
+    decoded = decode_predictions(
+        np.asarray(pred_ids)[:real],
+        batch["_ocr_tokens"][:real],
+        answer_vocab.word_list,
+        eos_idx,
+    )
+    preds = [
+        {"pred_answer": d["pred_answer"], "gt_answers": list(a)}
+        for d, a in zip(decoded, batch["_answers"][:real])
+        if a
+    ]
+    if not preds:
+        return 0.0
+    acc, _ = metric_evaluator.eval_pred_list(preds)
+    return acc
+
+
+def train(
+    task_cfg: TaskConfig,
+    model,
+    params,
+    train_batcher: EpochBatcher,
+    val_batcher: Optional[EpochBatcher],
+    answer_vocab,
+    save_dir: str,
+    num_epochs: int,
+    seed: int = 0,
+    resume: bool = False,
+    log_every: int = 20,
+    max_steps: Optional[int] = None,
+) -> TrainState:
+    optimizer = make_optimizer(params, task_cfg)
+    state = create_train_state(params, optimizer)
+    start_epoch = 0
+    best_val_score, best_val_step = -1.0, -1
+
+    ckpt_path = os.path.join(save_dir, "best_model")
+    resume_path = os.path.join(save_dir, "last_state")
+    if resume and os.path.exists(resume_path):
+        restored = restore_checkpoint(resume_path, state)
+        state = TrainState(
+            step=jnp.asarray(restored["step"]),
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+        )
+        start_epoch = int(restored["meta"]["epoch_id"]) + 1
+        best_val_score = float(restored["meta"]["val_score"])
+        logger.info(
+            "resumed from %s at step %d epoch %d", resume_path,
+            int(state.step), start_epoch,
+        )
+
+    train_step = jax.jit(make_train_step(model, optimizer), donate_argnums=0)
+    rng = jax.random.PRNGKey(seed)
+    evaluator = Evaluator(model, answer_vocab, metric=task_cfg.metric)
+    special = answer_vocab.special_ids()
+
+    stop = False
+    for epoch_id in range(start_epoch, num_epochs):
+        losses, accs = [], []
+        t_window = time.time()
+        samples_window = 0
+        for it, batch in enumerate(train_batcher.epoch_batches()):
+            device_batch = {
+                k: jnp.asarray(v) for k, v in _device_view(batch).items()
+            }
+            state, metrics = train_step(state, device_batch, rng)
+            losses.append(metrics["loss"])  # device scalar; fetched lazily
+            samples_window += batch.get("_real_count", len(batch["_answers"]))
+            if it % log_every == 0 and it != 0:
+                acc = _batch_accuracy(
+                    metrics["pred_ids"], batch, answer_vocab, special.eos,
+                    evaluator.metric_evaluator,
+                )
+                accs.append(acc)
+                loss_avg = float(jnp.mean(jnp.stack(losses)))
+                dt = time.time() - t_window
+                logger.info(
+                    "epoch %d iter %d | loss %.4f | acc %.4f | %.1f samples/s",
+                    epoch_id, it, loss_avg, acc, samples_window / dt,
+                )
+                losses, t_window, samples_window = [], time.time(), 0
+            if max_steps is not None and int(state.step) >= max_steps:
+                stop = True
+                break
+
+        # per-epoch validation (reference train.py:162-171)
+        if val_batcher is not None:
+            result = evaluator.run_split(state.params, val_batcher.epoch_batches())
+            val_score = result["accuracy"] if result["accuracy"] is not None else 0.0
+            logger.info(
+                "[validation] epoch %d VQA %.4f (best %.4f @ step %d)",
+                epoch_id, val_score, best_val_score, best_val_step,
+            )
+            if val_score > best_val_score:
+                best_val_score, best_val_step = val_score, int(state.step)
+                save_checkpoint(
+                    ckpt_path, state, epoch_id=epoch_id, val_score=val_score
+                )
+                logger.info("saved best checkpoint to %s", ckpt_path)
+        save_checkpoint(
+            resume_path, state, epoch_id=epoch_id, val_score=best_val_score
+        )
+        if stop:
+            break
+    return state

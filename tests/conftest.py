@@ -3,12 +3,19 @@ sharding paths compile and execute without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The container's axon sitecustomize pins jax_platforms to "axon,cpu" at
+# interpreter start (routing every op to the remote TPU tunnel — painfully
+# slow for eager test code). Re-pin to CPU before any backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 

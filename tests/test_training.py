@@ -1,0 +1,152 @@
+"""Training-stack tests: loss vs torch BCE, LR schedule vs a python bisect
+oracle, per-module LR scaling, and a tiny overfit run."""
+
+import dataclasses
+from bisect import bisect
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sam_textvqa_tpu.config import task_config_from_dict
+from sam_textvqa_tpu.data.synthetic import device_batch, make_batch
+from sam_textvqa_tpu.models.sa_m4c import SAM4C, SAM4CParams
+from sam_textvqa_tpu.training.loss import m4c_decoding_bce_with_mask
+from sam_textvqa_tpu.training.optimizer import (
+    lr_factor_schedule,
+    make_optimizer,
+    param_lr_scales,
+)
+from sam_textvqa_tpu.training.step import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+NUM_ANSWERS = 50
+
+
+def _tiny_task():
+    cfg = task_config_from_dict(
+        {"SA-M4C": {}, "TextBERT": {}, "warmup_iters": 5,
+         "lr_decay_iters": [1000, 2000], "lr": 3e-3}
+    )
+    mmt = dataclasses.replace(
+        cfg.mmt, hidden_size=48, intermediate_size=96, ptr_query_size=48,
+        max_obj_num=8, max_ocr_num=6, num_decoding_steps=4, max_seq_length=8,
+        obj_drop=0.0, ocr_drop=0.0, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    tb = dataclasses.replace(
+        cfg.text_bert, hidden_size=48, intermediate_size=96,
+        num_attention_heads=4, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    return dataclasses.replace(cfg, mmt=mmt, text_bert=tb)
+
+
+def test_loss_matches_torch_bce():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    scores = rng.randn(4, 5, 30).astype(np.float32)
+    targets = (rng.rand(4, 5, 30) < 0.1).astype(np.float32)
+    mask = (rng.rand(4, 5) < 0.7).astype(np.float32)
+
+    ours = float(m4c_decoding_bce_with_mask(
+        jnp.asarray(scores), jnp.asarray(targets), jnp.asarray(mask)
+    ))
+    t_losses = torch.nn.functional.binary_cross_entropy_with_logits(
+        torch.tensor(scores), torch.tensor(targets), reduction="none"
+    )
+    t_losses = t_losses * torch.tensor(mask).unsqueeze(-1)
+    expected = float(
+        t_losses.sum() / torch.max(torch.tensor(mask).sum(), torch.tensor(1.0))
+    )
+    assert ours == pytest.approx(expected, rel=1e-5)
+
+
+def test_loss_zero_mask_clamps_denominator():
+    scores = jnp.ones((2, 3, 4))
+    targets = jnp.zeros((2, 3, 4))
+    mask = jnp.zeros((2, 3))
+    assert float(m4c_decoding_bce_with_mask(scores, targets, mask)) == 0.0
+
+
+def test_lr_schedule_matches_reference_lambda():
+    """Oracle: the reference lr_update (task_utils.py:48-56)."""
+    task = task_config_from_dict(
+        {"warmup_iters": 1000, "warmup_factor": 0.2,
+         "lr_decay_iters": [14000, 19000], "lr_decay": 0.1}
+    )
+    factor = lr_factor_schedule(task)
+
+    def ref_lr_update(it):
+        if it <= 1000:
+            alpha = float(it) / 1000.0
+            return 0.2 * (1.0 - alpha) + alpha
+        return pow(0.1, bisect([14000, 19000], it))
+
+    for it in [0, 1, 500, 999, 1000, 1001, 13999, 14000, 14001, 18999,
+               19000, 19001, 50000]:
+        assert float(factor(jnp.asarray(it))) == pytest.approx(
+            ref_lr_update(it), rel=1e-6
+        ), it
+
+
+def test_param_lr_scales():
+    task = _tiny_task()
+    model = SAM4C(params_cfg=SAM4CParams(task.mmt, task.text_bert, NUM_ANSWERS))
+    batch = {k: jnp.asarray(v) for k, v in
+             device_batch(make_batch(task, 2, num_answers_vocab=NUM_ANSWERS)).items()}
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    scale_tree, flat = param_lr_scales(params, task)
+    assert all(v == 0.1 for k, v in flat.items() if k.startswith("['text_bert']"))
+    assert all(v == 1.0 for k, v in flat.items() if k.startswith("['mmt']"))
+    assert flat["['classifier_weight']"] == 1.0
+
+
+def test_overfit_tiny_batch():
+    """A handful of steps on one batch must reduce the loss (end-to-end
+    gradient flow through spatial layers, pointer net, tied classifier)."""
+    task = _tiny_task()
+    model = SAM4C(params_cfg=SAM4CParams(task.mmt, task.text_bert, NUM_ANSWERS))
+    batch = {k: jnp.asarray(v) for k, v in
+             device_batch(make_batch(task, 4, num_answers_vocab=NUM_ANSWERS)).items()}
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch,
+    )["params"]
+    optimizer = make_optimizer(params, task)
+    state = create_train_state(params, optimizer)
+    train_step = jax.jit(make_train_step(model, optimizer))
+    rng = jax.random.PRNGKey(42)
+
+    losses = []
+    for _ in range(30):
+        state, metrics = train_step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses
+    assert int(state.step) == 30
+    eval_step = jax.jit(make_eval_step(model))
+    ev = eval_step(state.params, batch)
+    assert np.isfinite(float(ev["loss"]))
+    assert ev["pred_ids"].shape == batch["train_prev_inds"].shape
+
+
+def test_grad_clip_bounds_update_norm():
+    task = _tiny_task()
+    model = SAM4C(params_cfg=SAM4CParams(task.mmt, task.text_bert, NUM_ANSWERS))
+    batch = {k: jnp.asarray(v) for k, v in
+             device_batch(make_batch(task, 2, num_answers_vocab=NUM_ANSWERS)).items()}
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    # scale targets to produce a huge gradient; the clip keeps Adam's input
+    # bounded so params stay finite
+    batch = dict(batch)
+    batch["targets"] = batch["targets"] * 1e4
+    optimizer = make_optimizer(params, task)
+    state = create_train_state(params, optimizer)
+    train_step = jax.jit(make_train_step(model, optimizer))
+    state, metrics = train_step(state, batch, jax.random.PRNGKey(0))
+    finite = all(np.isfinite(np.asarray(p)).all() for p in jax.tree.leaves(state.params))
+    assert finite

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark: SA-M4C c3 training throughput (fwd+bwd+update) per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference publishes no numbers (BASELINE.md). The comparison
+constant below is an engineering estimate of the reference's training
+throughput on its documented hardware (2x Titan Xp, batch 96,
+sam-textvqa README:71): ~76 GFLOP/sample fwd+bwd at ~30% fp32 MFU over
+24 TFLOPS -> ~90 samples/s. Replace with a measured number when the torch
+reference can be run.
+"""
+
+import json
+import os
+import sys
+import time
+
+REFERENCE_SAMPLES_PER_SEC = 90.0  # 2x Titan Xp estimate, see docstring
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
+STEPS = int(os.environ.get("BENCH_STEPS", "30"))
+WARMUP = 3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sam_textvqa_tpu.config import load_task_config
+    from sam_textvqa_tpu.data.synthetic import device_batch, make_batch
+    from sam_textvqa_tpu.models.sa_m4c import SAM4C, SAM4CParams
+    from sam_textvqa_tpu.training.optimizer import make_optimizer
+    from sam_textvqa_tpu.training.step import create_train_state, make_train_step
+
+    cfg = load_task_config(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "configs/train-tvqa-eval-tvqa-c3.yml")
+    )
+    num_answers = 5000
+    model = SAM4C(
+        params_cfg=SAM4CParams(cfg.mmt, cfg.text_bert, num_answers),
+        dtype=jnp.bfloat16,
+    )
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in device_batch(
+            make_batch(cfg, BATCH, num_answers_vocab=num_answers)
+        ).items()
+    }
+    params = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0)}, batch, deterministic=True
+        )["params"]
+    )()
+    optimizer = make_optimizer(params, cfg)
+    state = create_train_state(params, optimizer)
+    train_step = jax.jit(make_train_step(model, optimizer), donate_argnums=0)
+    rng = jax.random.PRNGKey(0)
+
+    for _ in range(WARMUP):
+        state, metrics = train_step(state, batch, rng)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.time()
+    for _ in range(STEPS):
+        state, metrics = train_step(state, batch, rng)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.time() - t0
+
+    samples_per_sec = BATCH * STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "textvqa_train_samples_per_sec_per_chip",
+                "value": round(samples_per_sec, 1),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(samples_per_sec / REFERENCE_SAMPLES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -131,3 +131,49 @@ def make_batch(
 def device_batch(batch: Dict) -> Dict[str, np.ndarray]:
     """Drop host-only (string) fields; what remains is the jit-able pytree."""
     return {k: v for k, v in batch.items() if not k.startswith("_")}
+
+
+class SyntheticDataset:
+    """Fixture dataset with the SAMDataset batch-serving interface, used by
+    the CLI's --synthetic mode, tests, and bench (the analogue of the
+    reference's "debug" imdb split)."""
+
+    def __init__(
+        self,
+        task_cfg: TaskConfig,
+        size: int,
+        seed: int = 0,
+        num_answers_vocab: int = 5000,
+        with_answers: bool = True,
+    ):
+        self.cfg = task_cfg
+        self.num_answers_vocab = num_answers_vocab
+        self.pool = make_batch(
+            task_cfg, size, seed=seed, num_answers_vocab=num_answers_vocab
+        )
+        self.with_answers = with_answers
+        # synthetic gt answers: decode the target ids back to OCR words so
+        # the accuracy metric is exercised meaningfully
+        self._answers = []
+        for i in range(size):
+            toks = [w for w in self.pool["_ocr_tokens"][i] if w != "<pad>"]
+            ans = " ".join(toks[:2]) if toks else "nothing"
+            self._answers.append([ans] * 10)
+
+    def __len__(self) -> int:
+        return int(self.pool["question_indices"].shape[0])
+
+    def get_batch(self, indices, rng=None) -> Dict:
+        idx = np.asarray(list(indices))
+        out = {}
+        for k, v in self.pool.items():
+            if k.startswith("_"):
+                out[k] = [v[i] for i in idx]
+            else:
+                out[k] = v[idx]
+        out["_answers"] = (
+            [self._answers[i] for i in idx]
+            if self.with_answers
+            else [[] for _ in idx]
+        )
+        return out

@@ -106,10 +106,16 @@ class OcrPtrNet(nn.Module):
 
 
 class MMT(nn.Module):
-    """Joint-stream transformer (reference MMT, sa_m4c.py:773-863)."""
+    """Joint-stream transformer (reference MMT, sa_m4c.py:773-863).
+
+    ``attention_backend``: "xla" (explicit masks) or "pallas" (fused kernel
+    rebuilding the spatial bias in VMEM; used when attention dropout is
+    inactive, i.e. eval/decode or no-drop configs — numerics identical).
+    """
 
     config: MMTConfig
     dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "xla"
 
     @nn.compact
     def __call__(
@@ -154,17 +160,38 @@ class MMT(nn.Module):
         # base bias for normal layers
         base_bias = jnp.where(base_ok, 0.0, MASK_BIAS).astype(jnp.float32)
 
+        use_pallas = self.attention_backend == "pallas" and (
+            deterministic or cfg.attention_probs_dropout_prob == 0.0
+        )
+
         # combined boolean masks per spatial context key, built once
+        # (skipped entirely on the pallas path — the kernel rebuilds the
+        # bias in VMEM from the class matrix)
         num_implicit = (
             cfg.num_implicit_relations if "i" in cfg.layer_type_list else 0
         )
         combined: Dict[str, jnp.ndarray] = {}
+        pallas_ctxs: Dict[str, dict] = {}
+        n_ctx = spatial_classes.shape[-1]
         for layer_type, mix in zip(cfg.layer_type_list, cfg.mix_list):
             if layer_type not in ("s", "i"):
                 continue
             key = MATRIX_TYPE_MAP[mix]
             cache_key = (key, layer_type)  # 'i' layers carry extra heads
-            if cache_key in combined:
+            if cache_key in combined or cache_key in pallas_ctxs:
+                continue
+            if use_pallas and layer_type == "s":
+                pallas_ctxs[cache_key] = {
+                    "classes": spatial_classes,
+                    "lut": jnp.asarray(
+                        relation_head_lut(key), jnp.float32
+                    ),
+                    "col_mask": col_mask.astype(jnp.float32),
+                    "q_len": cfg.max_seq_length,
+                    "n_ctx": n_ctx,
+                    "dec_len": dec_len,
+                    "quadrants": tuple(cfg.attention_mask_quadrants),
+                }
                 continue
             allowed = build_spatial_allowed(
                 spatial_classes,
@@ -193,6 +220,7 @@ class MMT(nn.Module):
                 )(x, base_bias, deterministic)
                 n_i += 1
             elif layer_type == "s":
+                cache_key = (MATRIX_TYPE_MAP[mix], "s")
                 x = SpatialBertLayer(
                     hidden_size=cfg.hidden_size,
                     num_heads=cfg.num_spatial_relations,
@@ -203,7 +231,12 @@ class MMT(nn.Module):
                     use_head_bias=cfg.use_bias,
                     dtype=self.dtype,
                     name=f"spatial_layer_{s_i}",
-                )(x, combined[(MATRIX_TYPE_MAP[mix], "s")], deterministic)
+                )(
+                    x,
+                    combined.get(cache_key),
+                    deterministic,
+                    pallas_ctx=pallas_ctxs.get(cache_key),
+                )
                 s_i += 1
             elif layer_type == "i":
                 x = SpatialBertLayer(

@@ -61,6 +61,7 @@ class SimpleClassifier(nn.Module):
 class SAM4C(nn.Module):
     params_cfg: SAM4CParams
     dtype: jnp.dtype = jnp.float32
+    attention_backend: str = "xla"  # "xla" | "pallas" (see models/mmt.py)
 
     def setup(self):
         mmt_cfg = self.params_cfg.mmt
@@ -118,7 +119,12 @@ class SAM4C(nn.Module):
         )
         self.ocr_drop = nn.Dropout(rate=mmt_cfg.ocr_drop)
 
-        self.mmt = MMT(config=mmt_cfg, dtype=self.dtype, name="mmt")
+        self.mmt = MMT(
+            config=mmt_cfg,
+            dtype=self.dtype,
+            attention_backend=self.attention_backend,
+            name="mmt",
+        )
         self.ocr_ptr_net = OcrPtrNet(
             hidden_size=mmt_cfg.hidden_size,
             query_key_size=mmt_cfg.ptr_query_size,

@@ -88,7 +88,15 @@ def build_spatial_allowed(
 
 class SpatialBertSelfAttention(nn.Module):
     """Self-attention whose heads are gated by the spatial permission mask
-    (reference SpatialBertSelfAttention, sa_m4c.py:399-610)."""
+    (reference SpatialBertSelfAttention, sa_m4c.py:399-610).
+
+    Two compute paths with identical numerics:
+      * ``xla`` — explicit combined boolean mask + fused-by-XLA softmax;
+      * ``pallas`` — ops/fused_attention.py kernel that rebuilds the bias
+        in VMEM from the int8 class matrix (no (B,H,L,L) mask in HBM).
+    The pallas path is used when a ``pallas_ctx`` is supplied and attention
+    dropout is off (eval / decode, or no_drop configs).
+    """
 
     hidden_size: int = 768
     num_heads: int = 12  # spatial + implicit
@@ -97,7 +105,7 @@ class SpatialBertSelfAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, combined_ok, deterministic=True):
+    def __call__(self, x, combined_ok, deterministic=True, pallas_ctx=None):
         b, l, d = x.shape
         h = self.num_heads
         hd = self.hidden_size // h
@@ -109,19 +117,38 @@ class SpatialBertSelfAttention(nn.Module):
         k = split(Dense(self.hidden_size, dtype=self.dtype, name="key")(x))
         v = split(Dense(self.hidden_size, dtype=self.dtype, name="value")(x))
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(
-            self.dtype
+        use_pallas = pallas_ctx is not None and (
+            deterministic or self.dropout_rate == 0.0
         )
-        bias = jnp.where(combined_ok, 0.0, MASK_BIAS).astype(jnp.float32)
-        probs = masked_softmax_attention(
-            scores,
-            bias,
-            zero_fully_masked=True,
-            dropout_rate=self.dropout_rate,
-            deterministic=deterministic,
-            module=self,
-        )
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        if use_pallas:
+            from ..ops.fused_attention import spatial_attention_fwd
+
+            ctx = spatial_attention_fwd(
+                q.astype(jnp.float32),
+                k.astype(jnp.float32),
+                v.astype(jnp.float32),
+                pallas_ctx["classes"],
+                pallas_ctx["lut"],
+                pallas_ctx["col_mask"],
+                q_len=pallas_ctx["q_len"],
+                n_ctx=pallas_ctx["n_ctx"],
+                dec_len=pallas_ctx["dec_len"],
+                mask_quadrants=pallas_ctx["quadrants"],
+            ).astype(self.dtype)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(
+                self.dtype
+            )
+            bias = jnp.where(combined_ok, 0.0, MASK_BIAS).astype(jnp.float32)
+            probs = masked_softmax_attention(
+                scores,
+                bias,
+                zero_fully_masked=True,
+                dropout_rate=self.dropout_rate,
+                deterministic=deterministic,
+                module=self,
+            )
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
         if self.use_head_bias:
             # learned output bias shared across positions (reference :439-443,
@@ -147,7 +174,7 @@ class SpatialBertLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, combined_ok, deterministic=True):
+    def __call__(self, x, combined_ok, deterministic=True, pallas_ctx=None):
         from .bert import BertSelfOutput
         from .layers import LayerNormTF, gelu_erf
 
@@ -158,7 +185,7 @@ class SpatialBertLayer(nn.Module):
             use_head_bias=self.use_head_bias,
             dtype=self.dtype,
             name="attention_self",
-        )(x, combined_ok, deterministic)
+        )(x, combined_ok, deterministic, pallas_ctx=pallas_ctx)
         attn_out = BertSelfOutput(
             hidden_size=self.hidden_size,
             hidden_dropout_prob=self.hidden_dropout_prob,

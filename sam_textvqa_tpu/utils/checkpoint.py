@@ -33,6 +33,7 @@ def save_checkpoint(
     """Write a checkpoint (params, optimizer state, step, metadata)."""
     ocp = _ocp()
     ckpt_dir = os.path.abspath(ckpt_dir)
+    assert not extra, "extra metadata no longer supported (fixed schema)"
     payload = {
         "step": np.asarray(state.step),
         "params": jax.device_get(state.params),
@@ -40,7 +41,6 @@ def save_checkpoint(
         "meta": {
             "epoch_id": np.asarray(epoch_id),
             "val_score": np.asarray(val_score, dtype=np.float64),
-            **{k: np.asarray(v) for k, v in (extra or {}).items()},
         },
     }
     with ocp.PyTreeCheckpointer() as ckptr:
@@ -58,7 +58,10 @@ def restore_checkpoint(ckpt_dir: str, state_template=None):
                 "step": np.asarray(state_template.step),
                 "params": jax.device_get(state_template.params),
                 "opt_state": jax.device_get(state_template.opt_state),
-                "meta": None,
+                "meta": {
+                    "epoch_id": np.asarray(0),
+                    "val_score": np.asarray(0.0, dtype=np.float64),
+                },
             }
             restored = ckptr.restore(ckpt_dir, item=template)
         else:

@@ -62,6 +62,44 @@ def install_reference_shims():
         sys.path.insert(0, REFERENCE_ROOT)
 
 
+def load_reference_processors():
+    """Load reference sam/datasets/processors.py with stub parent packages
+    (its package __init__ chain needs lmdb + a py3.6 cphoc.so; we substitute
+    our bit-parity PHOC and skip the dataset imports)."""
+    import types
+
+    install_reference_shims()
+    if "sam.datasets.processors" in sys.modules:
+        return sys.modules["sam.datasets.processors"]
+
+    # parent package stubs
+    sam_pkg = types.ModuleType("sam")
+    sam_pkg.__path__ = [os.path.join(REFERENCE_ROOT, "sam")]
+    sys.modules.setdefault("sam", sam_pkg)
+    ds_pkg = types.ModuleType("sam.datasets")
+    ds_pkg.__path__ = [os.path.join(REFERENCE_ROOT, "sam", "datasets")]
+    sys.modules["sam.datasets"] = ds_pkg
+    phoc_pkg = types.ModuleType("sam.phoc")
+    from sam_textvqa_tpu.ops.phoc import build_phoc as _our_phoc
+
+    phoc_pkg.build_phoc = _our_phoc  # bit-parity verified in test_phoc.py
+    sys.modules["sam.phoc"] = phoc_pkg
+
+    import importlib.util
+
+    for name, rel in [
+        ("sam.spatial_utils", "sam/spatial_utils.py"),
+        ("sam.datasets.textvqa_vocab", "sam/datasets/textvqa_vocab.py"),
+        ("sam.datasets.processors", "sam/datasets/processors.py"),
+    ]:
+        path = os.path.join(REFERENCE_ROOT, rel)
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules["sam.datasets.processors"]
+
+
 def load_reference_module(relpath: str, name: str):
     """Load a single reference module by file path, bypassing package
     ``__init__`` chains that require unavailable native deps (lmdb, cphoc)."""

@@ -1,0 +1,88 @@
+"""End-to-end CLI tests: train -> checkpoint -> resume -> pretrained eval,
+all through `python train.py` on synthetic data (tiny model, CPU)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tiny_config(tmp_path):
+    with open(os.path.join(REPO, "configs/train-tvqa-eval-tvqa-c3.yml")) as f:
+        cfg = yaml.safe_load(f)
+    cfg["SA-M4C"].update(
+        hidden_size=48, ptr_query_size=48, max_obj_num=8, max_ocr_num=5,
+        num_decoding_steps=4, max_seq_length=8,
+    )
+    cfg.update(
+        max_obj_num=8, max_ocr_num=5, max_seq_length=8, batch_size=8,
+        warmup_iters=2, output_dir=str(tmp_path / "save"),
+    )
+    # keep TextBERT at default 768? too slow -> shrink via extra keys the
+    # loader understands
+    cfg["TextBERT"].update(num_hidden_layers=1)
+    cfg["SA-M4C"]["intermediate_size"] = 96
+    path = tmp_path / "tiny.yml"
+    path.write_text(yaml.safe_dump(cfg))
+    return str(path)
+
+
+def _run(args, cwd=REPO):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "train.py"] + args,
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=900,
+    )
+
+
+@pytest.mark.slow
+def test_cli_train_resume_eval(tmp_path):
+    cfg = _tiny_config(tmp_path)
+    # TextBERT hidden is fixed at 768 by BERT-base unless overridden; shrink
+    # it through the YAML to keep CPU time sane
+    with open(cfg) as f:
+        raw = yaml.safe_load(f)
+    raw["TextBERT"].update(hidden_size=48, intermediate_size=96,
+                           num_attention_heads=4)
+    with open(cfg, "w") as f:
+        f.write(yaml.safe_dump(raw))
+
+    r = _run(["--config", cfg, "--tag", "t1", "--synthetic", "16",
+              "--batch_size", "8", "--max_steps", "2",
+              "--num_train_epochs", "1"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    save_dir = tmp_path / "save" / "t1"
+    assert (save_dir / "best_model").exists() or (save_dir / "last_state").exists()
+    assert (save_dir / "evalai_val.json").exists()
+    preds = json.loads((save_dir / "evalai_val.json").read_text())
+    assert preds and {"question_id", "answer"} <= set(preds[0])
+
+    # resume continues from last_state
+    r2 = _run(["--config", cfg, "--tag", "t1", "--synthetic", "16",
+               "--batch_size", "8", "--max_steps", "4",
+               "--num_train_epochs", "2", "--resume"])
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "resumed from" in (r2.stderr + r2.stdout)
+
+    # pretrained eval-only path
+    ckpt = save_dir / "best_model"
+    if ckpt.exists():
+        r3 = _run(["--config", cfg, "--tag", "t1", "--synthetic", "16",
+                   "--batch_size", "8", "--pretrained_eval", str(ckpt)])
+        assert r3.returncode == 0, r3.stderr[-3000:]
+
+
+@pytest.mark.slow
+def test_cli_missing_data_message(tmp_path):
+    cfg = _tiny_config(tmp_path)
+    r = _run(["--config", cfg, "--tag", "t2"])
+    assert r.returncode != 0
+    assert "synthetic" in (r.stderr + r.stdout)

@@ -1,0 +1,233 @@
+"""Data pipeline tests: answer-target construction against the reference
+M4CAnswerProcessor (with matched RNG streams), dataset assembly, batching,
+concat datasets, and the imdb loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sam_textvqa_tpu.config import task_config_from_dict
+from sam_textvqa_tpu.data.dataset import (
+    ConcatDataset,
+    EpochBatcher,
+    SAMDataset,
+    build_dataset,
+)
+from sam_textvqa_tpu.data.features import DictFeatureSource, normalize_boxes
+from sam_textvqa_tpu.data.processors import (
+    M4CAnswerProcessor,
+    SimpleWordpieceTokenizer,
+    match_answer_to_vocab_ocr_seq,
+    word_cleaner,
+)
+from sam_textvqa_tpu.data.vocab import VocabDict
+
+from conftest import reference_available, load_reference_processors
+
+VOCAB_WORDS = ["<pad>", "<s>", "</s>", "<unk>", "red", "stop", "sign", "yes",
+               "no", "coca", "cola", "2", "exit"]
+
+
+def _vocab():
+    return VocabDict(VOCAB_WORDS)
+
+
+def test_word_cleaner():
+    # lowercase; "," and "?" stripped; "'s" becomes " 's"
+    assert word_cleaner("What's UP,?") == "what 's up"
+    # exact reference semantics checked against oracle below
+
+
+def test_match_answer_sequences():
+    v = _vocab()
+    ocr2inds = {"stop": [0, 3], "sign": [1]}
+    seqs = match_answer_to_vocab_ocr_seq("stop sign", v.word2idx_dict, ocr2inds)
+    num_vocab = len(v)
+    # "stop" -> vocab 5, ocr 0 (+nv), ocr 3 (+nv); "sign" -> vocab 6, ocr 1
+    firsts = {s[0] for s in seqs}
+    assert firsts == {5, num_vocab + 0, num_vocab + 3}
+    assert all(len(s) == 2 for s in seqs)
+    assert len(seqs) == 6
+    assert match_answer_to_vocab_ocr_seq("zebra", v.word2idx_dict, {}) == []
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_targets_match_reference_processor(tmp_path):
+    """Same RNG stream -> bit-identical targets/prev_inds/masks vs the
+    reference M4CAnswerProcessor (processors.py:586-692)."""
+    ref_mod = load_reference_processors()
+    from easydict import EasyDict as edict
+
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(VOCAB_WORDS) + "\n")
+    ref_mod.registry["Vocabs"] = {"vocab5k": str(vocab_file)}
+
+    cfg = edict(
+        {"vocab_type": "5k", "num_answers": 10, "max_ocr_tokens": 8,
+         "max_copy_steps": 6}
+    )
+    ref_proc = ref_mod.M4CAnswerProcessor(cfg)
+
+    ours = M4CAnswerProcessor(
+        _vocab(), max_copy_steps=6, num_answers=10, max_ocr_tokens=8
+    )
+
+    cases = [
+        (["stop sign"] * 4 + ["stop"] * 3 + ["red stop"] * 3,
+         ["stop", "sign", "stop", "go", "red"]),
+        (["yes"] * 10, ["yes", "no"]),
+        (["unanswerable"] * 10, ["stop"]),          # no match at all
+        (["coca cola"] * 5 + ["cola"] * 5, ["coca", "cola", "coca"]),
+        (["2"] * 10, ["2", "two", "2"]),
+        (["exit"] * 9 + ["stop"], []),              # no OCR tokens
+    ]
+    for seed, (answers, ocr) in enumerate(cases):
+        np.random.seed(seed)
+        ref_out = ref_proc({"answers": list(answers), "context_tokens": list(ocr)})
+        match = ours.match(answers, ocr)
+        sampled = ours.sample_decoding_targets(match, np.random.RandomState(seed))
+        np.testing.assert_array_equal(
+            sampled["train_prev_inds"], ref_out["train_prev_inds"].numpy(),
+            err_msg=f"case {seed} prev_inds",
+        )
+        np.testing.assert_array_equal(
+            sampled["train_loss_mask"], ref_out["train_loss_mask"].numpy(),
+            err_msg=f"case {seed} loss_mask",
+        )
+        np.testing.assert_allclose(
+            sampled["targets"], ref_out["targets"].numpy(),
+            err_msg=f"case {seed} targets", atol=0,
+        )
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_word_cleaner_matches_reference():
+    ref_mod = load_reference_processors()
+    for w in ["What's UP,?", "STOP, sign?", "it's", "a,b?c's", "  x  "]:
+        assert word_cleaner(w) == ref_mod.Processors.word_cleaner(w)
+
+
+def _fake_sources(n_images=4, seed=0):
+    rng = np.random.RandomState(seed)
+    obj, ocr = {}, {}
+    for i in range(n_images):
+        for table, n in ((obj, 7), (ocr, 3)):
+            boxes = rng.rand(n, 4) * 100
+            boxes[:, 2:] += boxes[:, :2]
+            table[f"img{i}"] = {
+                "features": rng.randn(n, 2048).astype(np.float32),
+                "boxes": boxes.astype(np.float32),
+                "image_w": 200,
+                "image_h": 100,
+            }
+    return DictFeatureSource(obj), DictFeatureSource(ocr)
+
+
+def _task(tmp_path):
+    return task_config_from_dict(
+        {
+            "SA-M4C": {"max_obj_num": 10, "max_ocr_num": 5,
+                       "num_decoding_steps": 6, "max_seq_length": 8},
+            "TextBERT": {},
+            "max_obj_num": 10, "max_ocr_num": 5, "max_seq_length": 8,
+            "textvqa_imdb": str(tmp_path / "imdb_{}.npy"),
+            "mix_list": ["none", "none", "share3", "share3", "share3", "share3"],
+        }
+    )
+
+
+def _write_imdb(tmp_path, split="train", n=6):
+    entries = [{"metadata": True}]
+    for i in range(n):
+        entries.append(
+            {
+                "question": f"what does sign {i} say",
+                "question_id": 100 - i,  # unsorted on purpose
+                "image_id": f"img{i % 4}",
+                "image_height": 100,
+                "image_width": 200,
+                "answers": ["stop"] * 10,
+                "google_ocr_tokens_filtered": ["STOP", "sign?"],
+            }
+        )
+    path = tmp_path / f"imdb_{split}.npy"
+    np.save(path, np.array(entries, dtype=object), allow_pickle=True)
+    return str(path)
+
+
+def test_build_dataset_and_batching(tmp_path):
+    from sam_textvqa_tpu.data.processors import FastTextProcessor
+
+    task = _task(tmp_path)
+    _write_imdb(tmp_path)
+    obj_src, ocr_src = _fake_sources()
+    ds = build_dataset(
+        task, "textvqa", "train", SimpleWordpieceTokenizer(),
+        FastTextProcessor(), _vocab(), obj_src, ocr_src,
+    )
+    assert len(ds) == 6
+    # sorted by question_id
+    assert list(ds.packed.question_id) == sorted(ds.packed.question_id)
+    rng = np.random.RandomState(0)
+    batch = ds.get_batch([0, 1, 2], rng)
+    assert batch["pad_obj_features"].shape == (3, 10, 2048)
+    assert batch["ocr_phoc"].shape == (3, 5, 604)
+    assert batch["spatial_classes"].shape == (3, 15, 15)
+    assert batch["targets"].shape == (3, 6, len(_vocab()) + 5)
+    # ocr cleaned: "STOP" -> "stop", "sign?" -> "sign"
+    assert batch["_ocr_tokens"][0][:2] == ["stop", "sign"]
+    # answers "stop" match OCR slot 0 and vocab id 5 -> targets nonzero
+    assert batch["targets"].sum() > 0
+    assert batch["train_loss_mask"].sum() > 0
+    # spatial graph has 12 on the diagonal for valid boxes
+    assert (np.diagonal(batch["spatial_classes"], axis1=1, axis2=2) == 12).sum() == 3 * 10
+
+
+def test_epoch_batcher_padding_and_shuffle(tmp_path):
+    from sam_textvqa_tpu.data.processors import FastTextProcessor
+
+    task = _task(tmp_path)
+    _write_imdb(tmp_path)
+    obj_src, ocr_src = _fake_sources()
+    ds = build_dataset(
+        task, "textvqa", "train", SimpleWordpieceTokenizer(),
+        FastTextProcessor(), _vocab(), obj_src, ocr_src,
+    )
+    batcher = EpochBatcher(ds, batch_size=4, shuffle=True, seed=1)
+    batches = list(batcher.epoch_batches())
+    assert len(batches) == 2
+    assert all(b["question_indices"].shape[0] == 4 for b in batches)
+    assert batches[1]["_real_count"] == 2  # 6 = 4 + 2(padded to 4)
+    order1 = [b["question_id"].tolist() for b in batches]
+    batches2 = list(batcher.epoch_batches())  # next epoch reshuffles
+    order2 = [b["question_id"].tolist() for b in batches2]
+    assert order1 != order2
+
+
+def test_concat_dataset(tmp_path):
+    from sam_textvqa_tpu.data.processors import FastTextProcessor
+
+    task = _task(tmp_path)
+    _write_imdb(tmp_path)
+    obj_src, ocr_src = _fake_sources()
+    d1 = build_dataset(task, "textvqa", "train", SimpleWordpieceTokenizer(),
+                       FastTextProcessor(), _vocab(), obj_src, ocr_src)
+    d2 = build_dataset(task, "textvqa", "train", SimpleWordpieceTokenizer(),
+                       FastTextProcessor(), _vocab(), obj_src, ocr_src)
+    cat = ConcatDataset([d1, d2])
+    assert len(cat) == 12
+    batch = cat.get_batch([0, 7, 5, 11], np.random.RandomState(0))
+    assert batch["question_indices"].shape[0] == 4
+    # position alignment: index 7 == d2 index 1
+    ref = d2.get_batch([1], np.random.RandomState(0))
+    np.testing.assert_array_equal(
+        batch["question_indices"][1], ref["question_indices"][0]
+    )
+
+
+def test_normalize_boxes():
+    boxes = np.array([[10.0, 20.0, 110.0, 70.0]])
+    out = normalize_boxes(boxes, 200, 100)
+    np.testing.assert_allclose(out[0, :4], [0.05, 0.2, 0.55, 0.7])
+    np.testing.assert_allclose(out[0, 4], (100 * 50) / (200 * 100))

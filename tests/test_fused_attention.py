@@ -1,0 +1,134 @@
+"""Pallas fused spatial attention vs the jnp reference path (interpret mode
+on CPU; the same kernel compiles for TPU)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sam_textvqa_tpu.models.layers import MASK_BIAS, causal_mask, masked_softmax_attention
+from sam_textvqa_tpu.models.spatial import build_spatial_allowed
+from sam_textvqa_tpu.ops.fused_attention import spatial_attention_fwd
+from sam_textvqa_tpu.ops.spatial_graph import build_spatial_graph, relation_head_lut
+
+
+def _jnp_reference(q, k, v, classes, lut, col_mask, q_len, n_ctx, dec_len,
+                   quadrants, spatial=True):
+    b, h, length, d = q.shape
+    base_ok = jnp.broadcast_to(
+        (col_mask > 0)[:, None, None, :], (b, 1, length, length)
+    )
+    causal = causal_mask(dec_len) > 0
+    base_ok = base_ok.at[:, :, -dec_len:, -dec_len:].set(causal[None, None])
+    if spatial:
+        allowed = build_spatial_allowed(
+            jnp.asarray(classes), jnp.asarray(lut), q_len, dec_len,
+            quadrants, h,
+        )
+        combined = allowed & base_ok
+    else:
+        combined = jnp.broadcast_to(base_ok, (b, h, length, length))
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(d)
+    bias = jnp.where(combined, 0.0, MASK_BIAS).astype(jnp.float32)
+    probs = masked_softmax_attention(scores, bias, zero_fully_masked=True)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+@pytest.mark.parametrize("quadrants", [(1, 2), (1, 2, 4, 7)])
+def test_fused_matches_reference(quadrants):
+    rng = np.random.RandomState(0)
+    b, h, d = 2, 12, 64
+    q_len, n_ctx, dec_len = 20, 30, 12
+    length = q_len + n_ctx + dec_len
+
+    q = rng.randn(b, h, length, d).astype(np.float32)
+    k = rng.randn(b, h, length, d).astype(np.float32)
+    v = rng.randn(b, h, length, d).astype(np.float32)
+    boxes = rng.rand(b, n_ctx, 4)
+    boxes[:, -5:] = 0
+    classes = build_spatial_graph(boxes)
+    lut = relation_head_lut("3")
+    col_mask = (rng.rand(b, length) < 0.8).astype(np.float32)
+    col_mask[:, -dec_len:] = 0.0
+
+    ref = _jnp_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), classes, lut,
+        jnp.asarray(col_mask), q_len, n_ctx, dec_len, quadrants,
+    )
+    out = spatial_attention_fwd(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(classes), jnp.asarray(lut), jnp.asarray(col_mask),
+        q_len=q_len, n_ctx=n_ctx, dec_len=dec_len,
+        mask_quadrants=quadrants, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_fused_full_shapes():
+    """Real SA-M4C shapes: 20+150+12 = 182, 12 heads."""
+    rng = np.random.RandomState(1)
+    b, h, d = 1, 12, 64
+    q_len, n_ctx, dec_len = 20, 150, 12
+    length = 182
+    q = rng.randn(b, h, length, d).astype(np.float32)
+    k = rng.randn(b, h, length, d).astype(np.float32)
+    v = rng.randn(b, h, length, d).astype(np.float32)
+    boxes = rng.rand(b, n_ctx, 4)
+    boxes[:, 120:] = 0
+    classes = build_spatial_graph(boxes)
+    lut = relation_head_lut("3")
+    col_mask = np.ones((b, length), np.float32)
+    col_mask[:, -dec_len:] = 0
+
+    ref = _jnp_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), classes, lut,
+        jnp.asarray(col_mask), q_len, n_ctx, dec_len, (1, 2),
+    )
+    out = spatial_attention_fwd(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(classes), jnp.asarray(lut), jnp.asarray(col_mask),
+        q_len=q_len, n_ctx=n_ctx, dec_len=dec_len, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_model_backend_parity():
+    """Full SAM4C forward: pallas backend == xla backend (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sam_textvqa_tpu.config import task_config_from_dict
+    from sam_textvqa_tpu.data.synthetic import device_batch, make_batch
+    from sam_textvqa_tpu.models.sa_m4c import SAM4C, SAM4CParams
+
+    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {}})
+    mmt = dataclasses.replace(
+        cfg.mmt, hidden_size=48, intermediate_size=96, ptr_query_size=48,
+        max_obj_num=10, max_ocr_num=6, num_decoding_steps=4, max_seq_length=8,
+        num_spatial_relations=12,
+    )
+    tb = dataclasses.replace(
+        cfg.text_bert, hidden_size=48, intermediate_size=96,
+        num_attention_heads=4,
+    )
+    task = dataclasses.replace(cfg, mmt=mmt, text_bert=tb)
+    pc = SAM4CParams(mmt, tb, 40)
+    model_xla = SAM4C(params_cfg=pc)
+    model_pl = SAM4C(params_cfg=pc, attention_backend="pallas")
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in device_batch(make_batch(task, 2, num_answers_vocab=40)).items()
+    }
+    params = model_xla.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    out_xla = model_xla.apply({"params": params}, batch, deterministic=True)
+    with pltpu.force_tpu_interpret_mode():
+        out_pl = model_pl.apply({"params": params}, batch, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(out_pl["scores"]), np.asarray(out_xla["scores"]),
+        rtol=2e-5, atol=2e-5,
+    )

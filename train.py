@@ -1,0 +1,239 @@
+#!/usr/bin/env python
+"""CLI driver for SA-M4C TPU training and evaluation.
+
+Public interface mirrors the reference (reference train.py:28-47):
+
+    python train.py --config configs/train-tvqa-eval-tvqa-c3.yml --tag run1
+    python train.py --config ... --tag run1 --pretrained_eval save/run1/best_model
+
+Extensions over the reference:
+  --synthetic N     run on N deterministic synthetic samples (no data needed;
+                    the analogue of the reference's debug split)
+  --resume          continue training from save/<tag>/last_state (the
+                    reference cannot resume, train.py:104)
+  --model_parallel  tensor-parallel degree over the mesh's model axis
+  --dtype           bf16 (default) or f32 compute
+  --max_steps       stop after N optimizer steps (smoke runs)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import random
+
+import numpy as np
+
+logging.basicConfig(
+    format="%(asctime)s - %(levelname)s - %(name)s - %(message)s",
+    datefmt="%m/%d/%Y %H:%M:%S",
+    level=logging.INFO,
+)
+logger = logging.getLogger("train")
+
+
+def get_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True, type=str)
+    parser.add_argument("--tag", type=str, default="debug")
+    parser.add_argument("--pretrained_eval", default="")
+    parser.add_argument("--num_train_epochs", default=100, type=int)
+    parser.add_argument("--seed", type=int, default=None,
+                        help="overrides the YAML seed when set")
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="use N synthetic samples instead of real data")
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--model_parallel", type=int, default=1)
+    parser.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    parser.add_argument("--beam_size", type=int, default=1)
+    return parser.parse_args()
+
+
+def build_vocab(task_cfg):
+    """Answer vocab from the configured file, or a synthetic one."""
+    from sam_textvqa_tpu.data.vocab import VocabDict
+
+    key = "vocab5k" if task_cfg.vocab_type == "5k" else "vocab5k_stvqa"
+    path = task_cfg.vocabs.get(key, "")
+    if path and os.path.exists(path):
+        return VocabDict(path)
+    logger.warning("vocab file %s missing; using synthetic vocab", path)
+    words = ["<pad>", "<s>", "</s>", "<unk>"] + [
+        f"word{i}" for i in range(4996)
+    ]
+    return VocabDict(words)
+
+
+def build_datasets(task_cfg, args, vocab):
+    from sam_textvqa_tpu.data.dataset import (
+        ConcatDataset,
+        EpochBatcher,
+        build_dataset,
+    )
+    from sam_textvqa_tpu.data.processors import (
+        FastTextProcessor,
+        load_bert_tokenizer,
+    )
+    from sam_textvqa_tpu.data.synthetic import SyntheticDataset
+
+    batch_size = args.batch_size or task_cfg.batch_size
+
+    def imdb_exists(dset, split):
+        prefix = "textvqa" if dset == "textvqa" else "stvqa"
+        holder = getattr(task_cfg, f"{prefix}_imdb")
+        return holder and os.path.exists(
+            holder.format("debug" if task_cfg.debug else split)
+        )
+
+    have_real = all(imdb_exists(d, "train") for d in task_cfg.train_on)
+    if not have_real and not args.synthetic:
+        raise SystemExit(
+            "Dataset files not found. Download them per data/README or run "
+            "with --synthetic N."
+        )
+
+    if args.synthetic:
+        n = args.synthetic
+        train_ds = SyntheticDataset(task_cfg, n, seed=0,
+                                    num_answers_vocab=len(vocab))
+        val_ds = SyntheticDataset(task_cfg, max(n // 4, batch_size), seed=1,
+                                  num_answers_vocab=len(vocab))
+        test_ds = SyntheticDataset(task_cfg, max(n // 4, batch_size), seed=2,
+                                   num_answers_vocab=len(vocab),
+                                   with_answers=False)
+    else:
+        from sam_textvqa_tpu.data.features import open_feature_source
+
+        tokenizer = load_bert_tokenizer()
+        fasttext = FastTextProcessor()
+        splits = {}
+        for split in ("train", "val", "test"):
+            parts = []
+            names = getattr(task_cfg, f"{split}_on")
+            for dset in names:
+                prefix = "textvqa" if dset == "textvqa" else "stvqa"
+                fmt = "trainval" if split in ("train", "val") else "test"
+                obj_src = open_feature_source(
+                    getattr(task_cfg, f"{prefix}_obj").format(fmt))
+                ocr_src = open_feature_source(
+                    getattr(task_cfg, f"{prefix}_ocr").format(fmt))
+                cache = getattr(task_cfg, f"{prefix}_spatial_cache")
+                parts.append(
+                    build_dataset(
+                        task_cfg, dset, split, tokenizer, fasttext, vocab,
+                        obj_src, ocr_src,
+                        cache_path=cache.format(split) if cache else None,
+                    )
+                )
+            splits[split] = parts[0] if len(parts) == 1 else ConcatDataset(parts)
+        train_ds, val_ds, test_ds = splits["train"], splits["val"], splits["test"]
+
+    return (
+        EpochBatcher(train_ds, batch_size, shuffle=True, seed=task_cfg.seed),
+        EpochBatcher(val_ds, batch_size, shuffle=False),
+        EpochBatcher(test_ds, batch_size, shuffle=False),
+    )
+
+
+def main():
+    args = get_args()
+    import jax
+    import jax.numpy as jnp
+
+    from sam_textvqa_tpu.config import load_task_config
+    from sam_textvqa_tpu.evaluation.evaluator import Evaluator
+    from sam_textvqa_tpu.models.sa_m4c import SAM4C, SAM4CParams
+    from sam_textvqa_tpu.training.loop import train
+    from sam_textvqa_tpu.utils.checkpoint import restore_checkpoint
+
+    task_cfg = load_task_config(args.config)
+    seed = args.seed if args.seed is not None else task_cfg.seed
+    if seed != task_cfg.seed:
+        task_cfg = dataclasses.replace(task_cfg, seed=seed)
+    random.seed(seed)
+    np.random.seed(seed)
+
+    save_path = os.path.join(task_cfg.output_dir, args.tag)
+    os.makedirs(save_path, exist_ok=True)
+    with open(os.path.join(save_path, "command.txt"), "w") as f:
+        print(f"Command Line:\n{vars(args)}\n", file=f)
+        print(f"Config File:\n{task_cfg}\n", file=f)
+
+    logger.info("devices: %s", jax.devices())
+    vocab = build_vocab(task_cfg)
+    train_batcher, val_batcher, test_batcher = build_datasets(
+        task_cfg, args, vocab
+    )
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model = SAM4C(
+        params_cfg=SAM4CParams(task_cfg.mmt, task_cfg.text_bert, len(vocab)),
+        dtype=dtype,
+    )
+    sample = {
+        k: jnp.asarray(v)
+        for k, v in train_batcher.dataset.get_batch(
+            range(min(2, len(train_batcher.dataset))),
+            np.random.RandomState(0),
+        ).items()
+        if not k.startswith("_") and k != "question_id"
+    }
+    params = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(seed)}, sample, deterministic=True
+        )["params"]
+    )()
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    logger.info("training parameters: %d", n_params)
+
+    evaluator = Evaluator(model, vocab, metric=task_cfg.metric)
+
+    if args.pretrained_eval:
+        restored = restore_checkpoint(args.pretrained_eval)
+        params = restored["params"]
+        out_dir = os.path.dirname(args.pretrained_eval.rstrip("/"))
+        for split, batcher in (("test", test_batcher), ("val", val_batcher)):
+            if args.beam_size > 1:
+                result = evaluator.run_split_beam(
+                    params, batcher.epoch_batches(), args.beam_size
+                )
+                name = f"evalai_{split}_beam_{args.beam_size}.json"
+            else:
+                result = evaluator.run_split(params, batcher.epoch_batches())
+                name = f"evalai_{split}.json"
+            evaluator.dump_evalai(result, os.path.join(out_dir, name))
+            if result["accuracy"] is not None:
+                logger.info("%s accuracy: %.4f", split, result["accuracy"])
+        return
+
+    state = train(
+        task_cfg,
+        model,
+        params,
+        train_batcher,
+        val_batcher,
+        vocab,
+        save_dir=save_path,
+        num_epochs=args.num_train_epochs,
+        seed=seed,
+        resume=args.resume,
+        max_steps=args.max_steps,
+    )
+
+    # final eval with the trained weights (reference train.py:215-225)
+    for split, batcher in (("test", test_batcher), ("val", val_batcher)):
+        result = evaluator.run_split(state.params, batcher.epoch_batches())
+        evaluator.dump_evalai(
+            result, os.path.join(save_path, f"evalai_{split}.json")
+        )
+        if result["accuracy"] is not None:
+            logger.info("%s accuracy: %.4f", split, result["accuracy"])
+
+
+if __name__ == "__main__":
+    main()

@@ -98,6 +98,7 @@ class MMTConfig:
     attention_mask_quadrants: Tuple[int, ...] = (1, 2)
     use_aux_heads: bool = False
     aux_spatial_fusion: str = "mul"
+    frcn_encoder_type: str = "default"  # or "finetune_faster_rcnn_fpn_fc7"
     spatial_type: str = "top"
     use_bias: bool = False
     no_drop: bool = False

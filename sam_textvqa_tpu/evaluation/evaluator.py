@@ -42,22 +42,37 @@ class Evaluator:
         model,
         answer_vocab: VocabDict,
         metric: str = "textvqa",
+        fast_decode: bool = True,
     ):
         self.model = model
         self.answer_vocab = answer_vocab
         self.special = answer_vocab.special_ids()
         self.metric_evaluator = METRIC_EVALUATORS[metric]()
+        self.fast_decode = fast_decode and self._fast_supported()
         self._greedy = None
+
+    def _fast_supported(self) -> bool:
+        """The cached-encoder path covers every shipped config; fall back to
+        the full-recompute scan for implicit layers or decoder-row quadrant
+        masking (see models/fast_decode.py)."""
+        cfg = self.model.params_cfg.mmt
+        if "i" in cfg.layer_type_list:
+            return False
+        if any(q in (7, 8, 9) for q in cfg.attention_mask_quadrants):
+            return False
+        return True
 
     def _greedy_fn(self):
         if self._greedy is None:
+            from ..models.fast_decode import greedy_decode_fast
             from ..models.sa_m4c import greedy_decode
 
             bos = self.special.bos
+            decode = greedy_decode_fast if self.fast_decode else greedy_decode
 
             @jax.jit
             def fn(params, device_batch):
-                return greedy_decode(self.model, params, device_batch, bos)
+                return decode(self.model, params, device_batch, bos)
 
             self._greedy = fn
         return self._greedy
@@ -135,12 +150,16 @@ class Evaluator:
         """Beam-search decode; per-question best-beam answer
         (reference evaluator.py:304-356 picks argmax topkscores)."""
         from ..models.beam_search import beam_search_decode
+        from ..models.fast_decode import beam_search_decode_fast
 
         bos, eos = self.special.bos, self.special.eos
+        beam_impl = (
+            beam_search_decode_fast if self.fast_decode else beam_search_decode
+        )
 
         @jax.jit
         def beam_fn(p, device_batch):
-            return beam_search_decode(
+            return beam_impl(
                 self.model, p, device_batch, beam_size, bos, eos
             )
 

@@ -87,6 +87,18 @@ class SAM4C(nn.Module):
                 mmt_cfg.hidden_size, dtype=self.dtype, name="text_bert_out_linear"
             )
 
+        from .encoders import ImageEncoder
+
+        # fc7 appearance encoders — Identity in every shipped config
+        # (reference sa_m4c.py:29,105-140, textvqa_encoders.py:17-33)
+        self.obj_faster_rcnn_fc7 = ImageEncoder(
+            encoder_type=mmt_cfg.frcn_encoder_type, dtype=self.dtype,
+            name="obj_faster_rcnn_fc7",
+        )
+        self.ocr_faster_rcnn_fc7 = ImageEncoder(
+            encoder_type=mmt_cfg.frcn_encoder_type, dtype=self.dtype,
+            name="ocr_faster_rcnn_fc7",
+        )
         self.linear_obj_feat_to_mmt_in = Dense(
             mmt_cfg.hidden_size, dtype=self.dtype, name="linear_obj_feat_to_mmt_in"
         )
@@ -171,7 +183,7 @@ class SAM4C(nn.Module):
         dt = self.dtype
 
         # objects (reference :204-219)
-        obj_feat = batch["pad_obj_features"].astype(dt)
+        obj_feat = self.obj_faster_rcnn_fc7(batch["pad_obj_features"].astype(dt))
         if mmt_cfg.normalize:
             obj_feat = l2_normalize(obj_feat)
         obj_bbox = batch["pad_obj_bboxes"][..., :4].astype(dt)  # drop area col
@@ -183,7 +195,7 @@ class SAM4C(nn.Module):
         # OCR (reference :221-257)
         ocr_fasttext = batch["ocr_fasttext"].astype(dt)
         ocr_phoc = batch["ocr_phoc"].astype(dt)
-        ocr_fc7 = batch["pad_ocr_features"].astype(dt)
+        ocr_fc7 = self.ocr_faster_rcnn_fc7(batch["pad_ocr_features"].astype(dt))
         if mmt_cfg.normalize:
             ocr_fasttext = l2_normalize(ocr_fasttext)
             ocr_phoc = l2_normalize(ocr_phoc)

@@ -108,10 +108,20 @@ def train(
         losses, accs = [], []
         t_window = time.time()
         samples_window = 0
-        for it, batch in enumerate(train_batcher.epoch_batches()):
-            device_batch = {
-                k: jnp.asarray(v) for k, v in _device_view(batch).items()
+        from ..data.prefetch import prefetch_to_device
+
+        def host_side(batch):
+            # keep eval-side keys on host; ship the rest ahead of time
+            return {
+                ("_question_id" if k == "question_id" else k): v
+                for k, v in batch.items()
             }
+
+        batches = prefetch_to_device(
+            (host_side(b) for b in train_batcher.epoch_batches()), size=2
+        )
+        for it, batch in enumerate(batches):
+            device_batch = _device_view(batch)
             state, metrics = train_step(state, device_batch, rng)
             losses.append(metrics["loss"])  # device scalar; fetched lazily
             samples_window += batch.get("_real_count", len(batch["_answers"]))
@@ -122,6 +132,11 @@ def train(
                 )
                 accs.append(acc)
                 loss_avg = float(jnp.mean(jnp.stack(losses)))
+                if not np.isfinite(loss_avg):
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_avg} at epoch {epoch_id} "
+                        f"iter {it} (step {int(state.step)})"
+                    )
                 dt = time.time() - t_window
                 logger.info(
                     "epoch %d iter %d | loss %.4f | acc %.4f | %.1f samples/s",

@@ -1,0 +1,92 @@
+"""Fast (encoder-cached) decode vs the reference-semantics scan decode."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sam_textvqa_tpu.config import task_config_from_dict
+from sam_textvqa_tpu.data.synthetic import device_batch, make_batch
+from sam_textvqa_tpu.models.beam_search import beam_search_decode
+from sam_textvqa_tpu.models.fast_decode import (
+    beam_search_decode_fast,
+    greedy_decode_fast,
+)
+from sam_textvqa_tpu.models.sa_m4c import SAM4C, SAM4CParams, greedy_decode
+
+NUM_ANSWERS = 30
+BOS, EOS = 1, 2
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {}})
+    mmt = dataclasses.replace(
+        cfg.mmt, hidden_size=48, intermediate_size=96, ptr_query_size=48,
+        max_obj_num=8, max_ocr_num=6, num_decoding_steps=4, max_seq_length=6,
+    )
+    tb = dataclasses.replace(
+        cfg.text_bert, hidden_size=48, intermediate_size=96, num_attention_heads=4
+    )
+    task = dataclasses.replace(cfg, mmt=mmt, text_bert=tb)
+    model = SAM4C(params_cfg=SAM4CParams(mmt, tb, NUM_ANSWERS))
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in device_batch(make_batch(task, 3, num_answers_vocab=NUM_ANSWERS)).items()
+    }
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    return task, model, batch, params
+
+
+def test_fast_greedy_matches_scan(tiny):
+    task, model, batch, params = tiny
+    s_ref, p_ref = greedy_decode(model, params, batch, bos_idx=BOS)
+    s_fast, p_fast = greedy_decode_fast(model, params, batch, bos_idx=BOS)
+    np.testing.assert_array_equal(np.asarray(p_fast), np.asarray(p_ref))
+    np.testing.assert_allclose(
+        np.asarray(s_fast), np.asarray(s_ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_fast_teacher_forced_scores_match_model(tiny):
+    """decode_rows on a fixed prev_inds must equal the module forward."""
+    from sam_textvqa_tpu.models.fast_decode import build_mmt_cache, decode_rows
+
+    task, model, batch, params = tiny
+    cfg = task.mmt
+    out = model.apply({"params": params}, batch, deterministic=True)
+    enc = model.apply({"params": params}, batch, method=SAM4C.encode,
+                      deterministic=True)
+    cache = build_mmt_cache(
+        params, cfg,
+        enc["text_bert_emb"].astype(jnp.float32),
+        enc["obj_mmt_in"].astype(jnp.float32),
+        enc["ocr_mmt_in"].astype(jnp.float32),
+        batch["question_mask"].astype(jnp.float32),
+        batch["pad_obj_mask"].astype(jnp.float32),
+        batch["pad_ocr_mask"].astype(jnp.float32),
+        batch["spatial_classes"],
+    )
+    scores = decode_rows(
+        params, cfg, cache, params["classifier_weight"],
+        batch["train_prev_inds"],
+        batch["pad_ocr_mask"].astype(jnp.float32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(out["scores"]), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_fast_beam_matches_slow_beam(tiny):
+    task, model, batch, params = tiny
+    k = 3
+    seqs_ref, scores_ref = beam_search_decode(model, params, batch, k, BOS, EOS)
+    seqs_fast, scores_fast = beam_search_decode_fast(
+        model, params, batch, k, BOS, EOS
+    )
+    np.testing.assert_array_equal(np.asarray(seqs_fast), np.asarray(seqs_ref))
+    np.testing.assert_allclose(
+        np.asarray(scores_fast), np.asarray(scores_ref), rtol=2e-5, atol=2e-5
+    )

@@ -76,9 +76,30 @@ def train(
     resume: bool = False,
     log_every: int = 20,
     max_steps: Optional[int] = None,
+    mesh=None,
+    model_parallel: int = 1,
 ) -> TrainState:
+    """Mesh-aware training driver. With ``mesh`` (or >1 local device), the
+    batch is sharded over the ``data`` axis and — when ``model_parallel>1``
+    — weights over the ``model`` axis; XLA emits the ICI collectives."""
     optimizer = make_optimizer(params, task_cfg)
     state = create_train_state(params, optimizer)
+
+    data_sharding = None
+    if mesh is None and len(jax.devices()) > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(model_parallel=model_parallel)
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, shard_params
+
+        p_shard = shard_params(params, mesh, tensor_parallel=model_parallel > 1)
+        state = state._replace(params=jax.device_put(state.params, p_shard))
+        data_sharding = batch_sharding(mesh)
+        logger.info(
+            "training over mesh %s (dp=%d x tp=%d)",
+            mesh.shape, mesh.shape["data"], mesh.shape["model"],
+        )
     start_epoch = 0
     best_val_score, best_val_step = -1.0, -1
 
@@ -118,7 +139,9 @@ def train(
             }
 
         batches = prefetch_to_device(
-            (host_side(b) for b in train_batcher.epoch_batches()), size=2
+            (host_side(b) for b in train_batcher.epoch_batches()),
+            size=2,
+            sharding=data_sharding,
         )
         for it, batch in enumerate(batches):
             device_batch = _device_view(batch)

@@ -207,3 +207,56 @@ def test_question_rows_zeroed_in_spatial_heads(tiny):
     combined = np.asarray(allowed) & np.asarray(col_ok)[:, None, None, :]
     # every question row is fully masked in every spatial head
     assert not combined[:, :, :q_len, :].any()
+
+
+def test_c5_and_multi_context_model():
+    """share5 mix (c5 config) and a mixed share3/share5 stack must build
+    distinct combined masks and run."""
+    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {}})
+    mmt = dataclasses.replace(
+        cfg.mmt,
+        hidden_size=48, intermediate_size=96, ptr_query_size=48,
+        max_obj_num=10, max_ocr_num=6, num_decoding_steps=4, max_seq_length=8,
+        mix_list=("none", "none", "share5", "share5", "share3", "share3"),
+    )
+    tb = dataclasses.replace(
+        cfg.text_bert, hidden_size=48, intermediate_size=96, num_attention_heads=4
+    )
+    task = dataclasses.replace(cfg, mmt=mmt, text_bert=tb)
+    model = SAM4C(params_cfg=SAM4CParams(mmt, tb, NUM_ANSWERS))
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in device_batch(make_batch(task, 2, num_answers_vocab=NUM_ANSWERS)).items()
+    }
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    out = model.apply({"params": params}, batch, deterministic=True)
+    assert np.isfinite(np.asarray(out["scores"])).all()
+    # wider context strictly loosens the mask
+    from sam_textvqa_tpu.ops.spatial_graph import relation_head_lut
+
+    lut3 = relation_head_lut("3")
+    lut5 = relation_head_lut("5")
+    assert (lut5 & ~lut3).sum() > 0 and not (lut3 & ~lut5).sum()
+
+
+def test_aux_heads_forward():
+    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {}})
+    mmt = dataclasses.replace(
+        cfg.mmt,
+        hidden_size=48, intermediate_size=96, ptr_query_size=48,
+        max_obj_num=10, max_ocr_num=6, num_decoding_steps=4, max_seq_length=8,
+        use_aux_heads=True, aux_spatial_fusion="mul",
+    )
+    tb = dataclasses.replace(
+        cfg.text_bert, hidden_size=48, intermediate_size=96, num_attention_heads=4
+    )
+    task = dataclasses.replace(cfg, mmt=mmt, text_bert=tb)
+    model = SAM4C(params_cfg=SAM4CParams(mmt, tb, NUM_ANSWERS))
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in device_batch(make_batch(task, 2, num_answers_vocab=NUM_ANSWERS)).items()
+    }
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    out = model.apply({"params": params}, batch, deterministic=True)
+    n = mmt.obj_ocr_length
+    assert out["spatial_head_out"].shape == (2, n, n, 12)

@@ -102,3 +102,46 @@ def test_greedy_decode_under_mesh():
     s2, p2 = jax.jit(lambda p, b: greedy_decode(model, p, b, bos_idx=1))(params, batch)
     np.testing.assert_allclose(np.asarray(scores), np.asarray(s2), rtol=2e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(pred), np.asarray(p2))
+
+
+def test_training_loop_under_mesh(tmp_path):
+    """Full train() driver over the 8-device mesh: sharded prefetch, val,
+    checkpointing."""
+    import dataclasses as dc
+
+    from sam_textvqa_tpu.config import task_config_from_dict
+    from sam_textvqa_tpu.data.synthetic import SyntheticDataset
+    from sam_textvqa_tpu.data.dataset import EpochBatcher
+    from sam_textvqa_tpu.data.vocab import VocabDict
+    from sam_textvqa_tpu.training.loop import train
+
+    cfg = task_config_from_dict(
+        {"SA-M4C": {}, "TextBERT": {}, "warmup_iters": 2, "lr": 1e-3}
+    )
+    mmt = dc.replace(
+        cfg.mmt, hidden_size=48, intermediate_size=96, ptr_query_size=48,
+        max_obj_num=8, max_ocr_num=6, num_decoding_steps=4, max_seq_length=8,
+    )
+    tb = dc.replace(
+        cfg.text_bert, hidden_size=48, intermediate_size=96,
+        num_attention_heads=4,
+    )
+    task = dc.replace(cfg, mmt=mmt, text_bert=tb)
+    words = ["<pad>", "<s>", "</s>", "<unk>"] + [f"w{i}" for i in range(44)]
+    vocab = VocabDict(words)
+    model = SAM4C(params_cfg=SAM4CParams(mmt, tb, len(vocab)))
+    ds = SyntheticDataset(task, 16, num_answers_vocab=len(vocab))
+    val = SyntheticDataset(task, 8, seed=1, num_answers_vocab=len(vocab))
+    batch = {k: jnp.asarray(v) for k, v in ds.get_batch(range(2)).items()
+             if not k.startswith("_") and k != "question_id"}
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    mesh = make_mesh(8, model_parallel=2)
+    state = train(
+        task, model, params,
+        EpochBatcher(ds, 8), EpochBatcher(val, 8, shuffle=False),
+        vocab, save_dir=str(tmp_path), num_epochs=1, max_steps=2,
+        mesh=mesh, model_parallel=2,
+    )
+    assert int(state.step) == 2
+    import os
+    assert os.path.exists(str(tmp_path) + "/last_state")

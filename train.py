@@ -223,6 +223,7 @@ def main():
         seed=seed,
         resume=args.resume,
         max_steps=args.max_steps,
+        model_parallel=args.model_parallel,
     )
 
     # final eval with the trained weights (reference train.py:215-225)

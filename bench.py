@@ -18,13 +18,18 @@ import sys
 import time
 
 REFERENCE_SAMPLES_PER_SEC = 90.0  # 2x Titan Xp estimate, see docstring
-BATCH = int(os.environ.get("BENCH_BATCH", "128"))
+# batch 64 measured fastest on a single v5e chip (961 > 916 @128 > 887 @256)
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 STEPS = int(os.environ.get("BENCH_STEPS", "30"))
 WARMUP = 3
 
 
 def main():
     import jax
+
+    # hardware RNG for dropout masks: threefry costs ~20% of the step on the
+    # (B,12,182,182) attention-dropout tensors (measured; see SCALING.md)
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     from sam_textvqa_tpu.config import load_task_config

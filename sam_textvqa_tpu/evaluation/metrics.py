@@ -174,9 +174,42 @@ class STVQAAccuracyEvaluator:
         return accuracy, pred_scores
 
 
-def levenshtein(s1: str, s2: str) -> int:
-    """Pure-Python edit distance (replaces the reference's C++ ``editdistance``
-    pip dependency, metrics.py:360-364)."""
+def _native_edit_lib():
+    """csrc/libsamedit.so via ctypes (the reference depends on the C++
+    ``editdistance`` pip package for the same primitive, metrics.py:360-364)."""
+    global _EDIT_LIB
+    if _EDIT_LIB is not _UNSET:
+        return _EDIT_LIB
+    import ctypes
+    import os
+    import subprocess
+
+    csrc = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "csrc",
+    )
+    so = os.path.join(csrc, "libsamedit.so")
+    try:
+        if not os.path.exists(so):
+            subprocess.run(["make", "-C", csrc], check=True,
+                           capture_output=True, timeout=120)
+        lib = ctypes.CDLL(so)
+        lib.sam_edit_distance_u32.restype = ctypes.c_int
+        lib.sam_edit_distance_u32.argtypes = [
+            ctypes.POINTER(ctypes.c_uint), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint), ctypes.c_int,
+        ]
+        _EDIT_LIB = lib
+    except Exception:
+        _EDIT_LIB = None
+    return _EDIT_LIB
+
+
+_UNSET = object()
+_EDIT_LIB = _UNSET
+
+
+def _levenshtein_python(s1: str, s2: str) -> int:
     if len(s1) < len(s2):
         s1, s2 = s2, s1
     if not s2:
@@ -188,6 +221,19 @@ def levenshtein(s1: str, s2: str) -> int:
             cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (c1 != c2)))
         prev = cur
     return prev[-1]
+
+
+def levenshtein(s1: str, s2: str) -> int:
+    """Edit distance: native C++ (csrc/editdistance.cc) with a pure-Python
+    fallback."""
+    lib = _native_edit_lib()
+    if lib is None:
+        return _levenshtein_python(s1, s2)
+    import ctypes
+
+    a = (ctypes.c_uint * len(s1))(*[ord(c) for c in s1])
+    b = (ctypes.c_uint * len(s2))(*[ord(c) for c in s2])
+    return lib.sam_edit_distance_u32(a, len(s1), b, len(s2))
 
 
 class STVQAANLSEvaluator:

@@ -72,12 +72,17 @@ def test_cli_train_resume_eval(tmp_path):
     assert r2.returncode == 0, r2.stderr[-3000:]
     assert "resumed from" in (r2.stderr + r2.stdout)
 
-    # pretrained eval-only path
+    # pretrained eval-only path, greedy and beam search
     ckpt = save_dir / "best_model"
     if ckpt.exists():
         r3 = _run(["--config", cfg, "--tag", "t1", "--synthetic", "16",
                    "--batch_size", "8", "--pretrained_eval", str(ckpt)])
         assert r3.returncode == 0, r3.stderr[-3000:]
+        r4 = _run(["--config", cfg, "--tag", "t1", "--synthetic", "16",
+                   "--batch_size", "8", "--pretrained_eval", str(ckpt),
+                   "--beam_size", "2"])
+        assert r4.returncode == 0, r4.stderr[-3000:]
+        assert (save_dir / "evalai_val_beam_2.json").exists()
 
 
 @pytest.mark.slow

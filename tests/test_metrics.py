@@ -124,3 +124,22 @@ def test_matches_reference_vqa_evaluator():
     our_acc, our_scores = TextVQAAccuracyEvaluator().eval_pred_list(preds)
     assert our_acc == pytest.approx(ref_acc)
     assert our_scores == pytest.approx(ref_scores)
+
+
+def test_native_editdistance_matches_python():
+    from sam_textvqa_tpu.evaluation.metrics import (
+        _levenshtein_python,
+        _native_edit_lib,
+        levenshtein,
+    )
+
+    if _native_edit_lib() is None:
+        pytest.skip("native edit-distance lib unavailable")
+    import random
+
+    rng = random.Random(0)
+    alphabet = "abcdefg 0123ü"
+    for _ in range(200):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 15)))
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 15)))
+        assert levenshtein(a, b) == _levenshtein_python(a, b), (a, b)

@@ -51,6 +51,10 @@ def get_args():
     parser.add_argument("--model_parallel", type=int, default=1)
     parser.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     parser.add_argument("--beam_size", type=int, default=1)
+    parser.add_argument(
+        "--prng", choices=["rbg", "threefry"], default="rbg",
+        help="rbg (hardware RNG, ~20%% faster dropout) or threefry",
+    )
     return parser.parse_args()
 
 
@@ -143,6 +147,9 @@ def build_datasets(task_cfg, args, vocab):
 def main():
     args = get_args()
     import jax
+
+    if args.prng == "rbg":
+        jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     from sam_textvqa_tpu.config import load_task_config

@@ -22,7 +22,7 @@ BOS, EOS = 1, 2
 
 @pytest.fixture(scope="module")
 def tiny():
-    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {}})
+    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 2}})
     mmt = dataclasses.replace(
         cfg.mmt, hidden_size=48, intermediate_size=96, ptr_query_size=48,
         max_obj_num=8, max_ocr_num=6, num_decoding_steps=4, max_seq_length=6,

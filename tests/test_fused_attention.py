@@ -106,7 +106,7 @@ def test_model_backend_parity():
     from sam_textvqa_tpu.data.synthetic import device_batch, make_batch
     from sam_textvqa_tpu.models.sa_m4c import SAM4C, SAM4CParams
 
-    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {}})
+    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 2}})
     mmt = dataclasses.replace(
         cfg.mmt, hidden_size=48, intermediate_size=96, ptr_query_size=48,
         max_obj_num=10, max_ocr_num=6, num_decoding_steps=4, max_seq_length=8,

@@ -20,7 +20,7 @@ NUM_ANSWERS = 50
 
 @pytest.fixture(scope="module")
 def tiny():
-    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {}})
+    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 2}})
     mmt = dataclasses.replace(
         cfg.mmt,
         hidden_size=48,
@@ -212,7 +212,7 @@ def test_question_rows_zeroed_in_spatial_heads(tiny):
 def test_c5_and_multi_context_model():
     """share5 mix (c5 config) and a mixed share3/share5 stack must build
     distinct combined masks and run."""
-    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {}})
+    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 2}})
     mmt = dataclasses.replace(
         cfg.mmt,
         hidden_size=48, intermediate_size=96, ptr_query_size=48,
@@ -240,7 +240,7 @@ def test_c5_and_multi_context_model():
 
 
 def test_aux_heads_forward():
-    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {}})
+    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 2}})
     mmt = dataclasses.replace(
         cfg.mmt,
         hidden_size=48, intermediate_size=96, ptr_query_size=48,

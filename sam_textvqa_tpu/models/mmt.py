@@ -160,9 +160,7 @@ class MMT(nn.Module):
         # base bias for normal layers
         base_bias = jnp.where(base_ok, 0.0, MASK_BIAS).astype(jnp.float32)
 
-        use_pallas = self.attention_backend == "pallas" and (
-            deterministic or cfg.attention_probs_dropout_prob == 0.0
-        )
+        use_pallas = self.attention_backend == "pallas"
 
         # combined boolean masks per spatial context key, built once
         # (skipped entirely on the pallas path — the kernel rebuilds the

@@ -117,10 +117,7 @@ class SpatialBertSelfAttention(nn.Module):
         k = split(Dense(self.hidden_size, dtype=self.dtype, name="key")(x))
         v = split(Dense(self.hidden_size, dtype=self.dtype, name="value")(x))
 
-        use_pallas = pallas_ctx is not None and (
-            deterministic or self.dropout_rate == 0.0
-        )
-        if use_pallas:
+        if pallas_ctx is not None and deterministic:
             from ..ops.fused_attention import spatial_attention_fwd
 
             ctx = spatial_attention_fwd(
@@ -134,6 +131,34 @@ class SpatialBertSelfAttention(nn.Module):
                 n_ctx=pallas_ctx["n_ctx"],
                 dec_len=pallas_ctx["dec_len"],
                 mask_quadrants=pallas_ctx["quadrants"],
+            ).astype(self.dtype)
+        elif pallas_ctx is not None:
+            # training: fused fwd+bwd kernel with in-kernel dropout
+            # (deterministic per (seed, batch, head); see ops/fused_attention)
+            from ..ops.fused_attention import make_spatial_attention_train
+
+            attn_fn = make_spatial_attention_train(
+                q_len=pallas_ctx["q_len"],
+                n_ctx=pallas_ctx["n_ctx"],
+                dec_len=pallas_ctx["dec_len"],
+                mask_quadrants=pallas_ctx["quadrants"],
+                dropout_rate=self.dropout_rate,
+            )
+            if self.dropout_rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+                )
+            else:
+                seed = jnp.int32(0)
+            ctx = attn_fn(
+                q.astype(jnp.float32),
+                k.astype(jnp.float32),
+                v.astype(jnp.float32),
+                pallas_ctx["classes"],
+                pallas_ctx["lut"],
+                pallas_ctx["col_mask"],
+                seed,
             ).astype(self.dtype)
         else:
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(

@@ -46,13 +46,101 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _combined_mask(
+    classes_ref, lut_ref, colmask_ref, h, l_pad,
+    *, q_len, n_ctx, length, mask_q1, mask_q2, mask_q4, mask_q7, mask_q8,
+    mask_q9, spatial_head,
+):
+    """Rebuild the combined attention permission in VMEM as a 0/1 float32
+    (Mosaic rejects vector bool selects, so the mask algebra stays in f32:
+    AND = *, OR via max, NOT = 1-x)."""
+    one = jnp.ones((l_pad, l_pad), dtype=jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (l_pad, l_pad), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (l_pad, l_pad), 1)
+
+    def f(pred):  # i1 predicate -> 0/1 f32
+        return jnp.where(pred, one, 0.0)
+
+    # base prefix-LM mask: everything may attend to unpadded encoder cols;
+    # dec x dec block is causal
+    base_ok = jnp.broadcast_to(colmask_ref[0, :][None, :], (l_pad, l_pad))
+    dec0 = q_len + n_ctx
+    in_dec_block = (rows >= dec0) & (rows < length) & (cols >= dec0) & (
+        cols < length
+    )
+    causal_ok = f(cols - dec0 <= rows - dec0)
+    base_ok = jnp.where(in_dec_block, causal_ok, base_ok)
+
+    if spatial_head:
+        # spatial permission for this head: LUT over the class matrix,
+        # expressed as a max of 12 compares (no gather needed on TPU)
+        cls = classes_ref[:, :]
+        q0, q1 = q_len, q_len + n_ctx
+        in_ctx = (rows >= q0) & (rows < q1) & (cols >= q0) & (cols < q1)
+        cshift = jnp.where(in_ctx, cls, 0)
+        ctx_allowed = jnp.zeros((l_pad, l_pad), dtype=jnp.float32)
+        for c in range(1, 13):
+            ctx_allowed = jnp.maximum(
+                ctx_allowed, f(cshift == c) * lut_ref[h, c]
+            )
+        allowed = jnp.where(in_ctx, ctx_allowed, one)
+
+        # quadrant masking for spatial heads (reference sa_m4c.py:504-549)
+        if mask_q1:
+            allowed = allowed * (1.0 - f((rows < q0) & (cols < q0)))
+        if mask_q2:
+            allowed = allowed * (
+                1.0 - f((rows < q0) & (cols >= q0) & (cols < q1))
+            )
+        if mask_q4:
+            allowed = allowed * (
+                1.0 - f((rows >= q0) & (rows < q1) & (cols < q0))
+            )
+        if mask_q7:
+            allowed = allowed * (1.0 - f((rows >= q1) & (cols < q0)))
+        if mask_q8:
+            allowed = allowed * (
+                1.0 - f((rows >= q1) & (cols >= q0) & (cols < q1))
+            )
+        if mask_q9:
+            allowed = allowed * (1.0 - f((rows >= q1) & (cols >= q1)))
+        combined_ok = base_ok * allowed
+    else:
+        combined_ok = base_ok
+
+    in_range = f((rows < length) & (cols < length))
+    return combined_ok * in_range
+
+
+def _softmax_probs(scores, combined_ok):
+    """Biased fp32 softmax + fully-masked-row zeroing (reference :551-584).
+    ``combined_ok`` is a 0/1 float32 mask."""
+    scores = scores + jnp.where(combined_ok > 0, 0.0, MASK_BIAS)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    row_alive = jnp.max(combined_ok, axis=-1, keepdims=True)
+    return probs * row_alive
+
+
+def _dropout_mask(seed_ref, b, h, shape, rate: float):
+    """Deterministic per-(seed, b, h) dropout keep-mask scaled by 1/keep,
+    regenerated identically in the backward kernel (hardware PRNG)."""
+    pltpu.prng_seed(seed_ref[0] + b * 4096 + h)
+    bits = pltpu.prng_random_bits(shape)
+    threshold = np.uint32(min(int(rate * (2**32)), 2**32 - 1))
+    keep = pltpu.bitcast(bits, jnp.uint32) >= threshold
+    return jnp.where(keep, 1.0 / (1.0 - rate), 0.0)
+
+
 def _attention_kernel(
     q_ref,        # (L_pad, D) f32
     k_ref,        # (L_pad, D)
     v_ref,        # (L_pad, D)
-    classes_ref,  # (N_pad, N_pad) int32 (padded with 0 = no relation)
+    classes_ref,  # (L_pad, L_pad) int32 frame (0 = no relation)
     lut_ref,      # (H, 16) f32 — relation->head LUT row per head
     colmask_ref,  # (1, L_pad) f32 — 1 on attendable encoder cols
+    seed_ref,     # (1,) int32 in SMEM (dropout seed; unused if rate == 0)
     out_ref,      # (L_pad, D)
     *,
     q_len: int,
@@ -67,86 +155,107 @@ def _attention_kernel(
     mask_q8: bool,
     mask_q9: bool,
     spatial_head: bool,
+    dropout_rate: float = 0.0,
 ):
+    l_pad = q_ref.shape[0]
+    h = pl.program_id(1)
+
+    scores = jax.lax.dot_general(
+        q_ref[:], k_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    combined_ok = _combined_mask(
+        classes_ref, lut_ref, colmask_ref, h, l_pad,
+        q_len=q_len, n_ctx=n_ctx, length=length,
+        mask_q1=mask_q1, mask_q2=mask_q2, mask_q4=mask_q4,
+        mask_q7=mask_q7, mask_q8=mask_q8, mask_q9=mask_q9,
+        spatial_head=spatial_head,
+    )
+    probs = _softmax_probs(scores, combined_ok)
+    if dropout_rate > 0.0:
+        probs = probs * _dropout_mask(
+            seed_ref, pl.program_id(0), h, probs.shape, dropout_rate
+        )
+
+    out_ref[:] = jax.lax.dot_general(
+        probs, v_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def _attention_bwd_kernel(
+    q_ref, k_ref, v_ref, classes_ref, lut_ref, colmask_ref, seed_ref, g_ref,
+    dq_ref, dk_ref, dv_ref,
+    *,
+    q_len: int, n_ctx: int, dec_len: int, length: int, scale: float,
+    mask_q1: bool, mask_q2: bool, mask_q4: bool, mask_q7: bool,
+    mask_q8: bool, mask_q9: bool, spatial_head: bool,
+    dropout_rate: float = 0.0,
+):
+    """Recompute-style backward: rebuild mask/probs/dropout in VMEM, no
+    (L, L) residuals in HBM. Chain: S -> P(softmax) -> P*alive -> P*drop ->
+    O = P_drop @ V."""
     l_pad = q_ref.shape[0]
     h = pl.program_id(1)
 
     q = q_ref[:]
     k = k_ref[:]
     v = v_ref[:]
+    g = g_ref[:].astype(jnp.float32)
+
     scores = jax.lax.dot_general(
-        q, k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (l_pad, l_pad), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (l_pad, l_pad), 1)
-
-    # base prefix-LM mask: everything may attend to unpadded encoder cols;
-    # dec x dec block is causal
-    base_ok = jnp.broadcast_to(colmask_ref[0, :][None, :] > 0, (l_pad, l_pad))
-    dec0 = q_len + n_ctx
-    in_dec_block = (rows >= dec0) & (rows < length) & (cols >= dec0) & (
-        cols < length
+    combined_ok = _combined_mask(
+        classes_ref, lut_ref, colmask_ref, h, l_pad,
+        q_len=q_len, n_ctx=n_ctx, length=length,
+        mask_q1=mask_q1, mask_q2=mask_q2, mask_q4=mask_q4,
+        mask_q7=mask_q7, mask_q8=mask_q8, mask_q9=mask_q9,
+        spatial_head=spatial_head,
     )
-    causal_ok = cols - dec0 <= rows - dec0
-    base_ok = jnp.where(in_dec_block, causal_ok, base_ok)
-
-    if spatial_head:
-        # spatial permission for this head: LUT over the class matrix,
-        # expressed as a sum of 12 compares (no gather needed on TPU)
-        cls = classes_ref[:, :]
-        q0, q1 = q_len, q_len + n_ctx
-        allowed = jnp.ones((l_pad, l_pad), dtype=jnp.bool_)
-        in_ctx = (rows >= q0) & (rows < q1) & (cols >= q0) & (cols < q1)
-        ctx_allowed = jnp.zeros((l_pad, l_pad), dtype=jnp.bool_)
-        # classes_ref is the padded ctx block aligned at [0, N_pad); shift
-        # row/col indices into it
-        cshift = jnp.where(in_ctx, cls, 0)  # will be recomputed per class
-        for c in range(1, 13):
-            ctx_allowed = ctx_allowed | (
-                (cshift == c) & (lut_ref[h, c] > 0)
-            )
-        allowed = jnp.where(in_ctx, ctx_allowed, allowed)
-
-        # quadrant masking for spatial heads (reference sa_m4c.py:504-549)
-        if mask_q1:
-            allowed &= ~((rows < q0) & (cols < q0))
-        if mask_q2:
-            allowed &= ~((rows < q0) & (cols >= q0) & (cols < q1))
-        if mask_q4:
-            allowed &= ~((rows >= q0) & (rows < q1) & (cols < q0))
-        if mask_q7:
-            allowed &= ~((rows >= q1) & (cols < q0))
-        if mask_q8:
-            allowed &= ~((rows >= q1) & (cols >= q0) & (cols < q1))
-        if mask_q9:
-            allowed &= ~((rows >= q1) & (cols >= q1))
-        combined_ok = base_ok & allowed
+    probs = _softmax_probs(scores, combined_ok)  # P * alive
+    if dropout_rate > 0.0:
+        drop = _dropout_mask(
+            seed_ref, pl.program_id(0), h, probs.shape, dropout_rate
+        )
+        probs_final = probs * drop
     else:
-        combined_ok = base_ok
+        drop = None
+        probs_final = probs
 
-    # out-of-range padding rows/cols are never attendable
-    in_range = (rows < length) & (cols < length)
-    combined_ok = combined_ok & in_range
-
-    bias = jnp.where(combined_ok, 0.0, MASK_BIAS)
-    scores = scores + bias
-    # fp32 softmax, matching jax.nn.softmax
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    probs = e / denom
-    # zero fully-masked rows (entity_probs_mask, reference :574-584)
-    row_alive = jnp.any(combined_ok, axis=-1, keepdims=True)
-    probs = jnp.where(row_alive, probs, 0.0)
-
-    out_ref[:] = jax.lax.dot_general(
-        probs, v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+    # dV = P_final^T @ g
+    dv_ref[:] = jax.lax.dot_general(
+        probs_final, g, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(out_ref.dtype)
+    ).astype(dv_ref.dtype)
+
+    # dP_final = g @ V^T ; back through dropout & alive (alive is 0/1 and
+    # already folded into `probs`, whose zero rows null dS below)
+    d_probs = jax.lax.dot_general(
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if drop is not None:
+        d_probs = d_probs * drop
+    # softmax vjp through P (rows fully masked have probs == 0 -> dS == 0)
+    row_dot = jnp.sum(d_probs * probs, axis=-1, keepdims=True)
+    d_scores = probs * (d_probs - row_dot)
+
+    dq_ref[:] = (
+        jax.lax.dot_general(
+            d_scores, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+    ).astype(dq_ref.dtype)
+    dk_ref[:] = (
+        jax.lax.dot_general(
+            d_scores, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+    ).astype(dk_ref.dtype)
 
 
 def _classes_block_spec(n_pad):
@@ -156,30 +265,13 @@ def _classes_block_spec(n_pad):
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "q_len", "n_ctx", "dec_len", "mask_quadrants", "spatial", "interpret"
-    ),
-)
-def spatial_attention_fwd(
-    q, k, v, classes, lut, col_mask,
-    *, q_len: int, n_ctx: int, dec_len: int,
-    mask_quadrants: Tuple[int, ...] = (1, 2),
-    spatial: bool = True,
-    interpret: bool = False,
-):
-    """Fused forward. q/k/v: (B, H, L, D) f32; classes: (B, N, N) int;
-    lut: (13, H); col_mask: (B, L). Returns (B, H, L, D)."""
-    b, h, length, d = q.shape
-    assert length == q_len + n_ctx + dec_len
+def _prepare_inputs(q, k, v, classes, lut, col_mask, q_len, n_ctx, length):
+    b, h, _, d = q.shape
     l_pad = _round_up(length, LANE)
-    n_pad = _round_up(n_ctx, LANE)
     d_pad = _round_up(d, LANE)
-
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, l_pad - length), (0, d_pad - d)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, l_pad - length), (0, d_pad - d)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, l_pad - length), (0, d_pad - d)))
+    pad = lambda t: jnp.pad(
+        t, ((0, 0), (0, 0), (0, l_pad - length), (0, d_pad - d))
+    )
     # classes padded into an (l_pad, l_pad) frame aligned with the joint
     # sequence: block [q_len : q_len+n_ctx) in both dims
     cls_frame = jnp.zeros((b, l_pad, l_pad), dtype=jnp.int32)
@@ -192,38 +284,147 @@ def spatial_attention_fwd(
     cm = jnp.pad(
         col_mask.astype(jnp.float32), ((0, 0), (0, l_pad - length))
     )[:, None, :]
+    return pad(q), pad(k), pad(v), cls_frame, lut_h, cm, l_pad, d_pad
 
+
+def _qkv_spec(l_pad, d_pad):
+    return pl.BlockSpec(
+        (None, None, l_pad, d_pad), lambda bi, hi: (bi, hi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _in_specs(l_pad, d_pad):
+    return [
+        _qkv_spec(l_pad, d_pad),
+        _qkv_spec(l_pad, d_pad),
+        _qkv_spec(l_pad, d_pad),
+        pl.BlockSpec((None, l_pad, l_pad), lambda bi, hi: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, 1, l_pad), lambda bi, hi: (bi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+
+
+def _kernel_statics(d, q_len, n_ctx, dec_len, length, mask_quadrants,
+                    spatial, dropout_rate):
     quad = set(mask_quadrants)
-    kernel = functools.partial(
-        _attention_kernel,
+    return dict(
         q_len=q_len, n_ctx=n_ctx, dec_len=dec_len, length=length,
         scale=1.0 / float(np.sqrt(d)),
         mask_q1=1 in quad, mask_q2=2 in quad, mask_q4=4 in quad,
         mask_q7=7 in quad, mask_q8=8 in quad, mask_q9=9 in quad,
-        spatial_head=spatial,
+        spatial_head=spatial, dropout_rate=dropout_rate,
     )
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "q_len", "n_ctx", "dec_len", "mask_quadrants", "spatial",
+        "dropout_rate", "interpret",
+    ),
+)
+def spatial_attention_fwd(
+    q, k, v, classes, lut, col_mask, seed=None,
+    *, q_len: int, n_ctx: int, dec_len: int,
+    mask_quadrants: Tuple[int, ...] = (1, 2),
+    spatial: bool = True,
+    dropout_rate: float = 0.0,
+    interpret: bool = False,
+):
+    """Fused forward. q/k/v: (B, H, L, D) f32; classes: (B, N, N) int;
+    lut: (13, H); col_mask: (B, L); seed: int32 scalar for dropout.
+    Returns (B, H, L, D)."""
+    b, h, length, d = q.shape
+    assert length == q_len + n_ctx + dec_len
+    qp, kp, vp, cls_frame, lut_h, cm, l_pad, d_pad = _prepare_inputs(
+        q, k, v, classes, lut, col_mask, q_len, n_ctx, length
+    )
+    seed_arr = jnp.asarray(
+        [0 if seed is None else seed], dtype=jnp.int32
+    ).reshape(1)
+    kernel = functools.partial(
+        _attention_kernel,
+        **_kernel_statics(d, q_len, n_ctx, dec_len, length, mask_quadrants,
+                          spatial, dropout_rate),
+    )
     out = pl.pallas_call(
         kernel,
         grid=(b, h),
-        in_specs=[
-            pl.BlockSpec((None, None, l_pad, d_pad), lambda bi, hi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, l_pad, d_pad), lambda bi, hi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, l_pad, d_pad), lambda bi, hi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, l_pad, l_pad), lambda bi, hi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, l_pad), lambda bi, hi: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (None, None, l_pad, d_pad), lambda bi, hi: (bi, hi, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        in_specs=_in_specs(l_pad, d_pad),
+        out_specs=_qkv_spec(l_pad, d_pad),
         out_shape=jax.ShapeDtypeStruct((b, h, l_pad, d_pad), q.dtype),
         interpret=interpret,
-    )(qp, kp, vp, cls_frame, lut_h, cm)
+    )(qp, kp, vp, cls_frame, lut_h, cm, seed_arr)
     return out[:, :, :length, :d]
+
+
+def make_spatial_attention_train(
+    *, q_len: int, n_ctx: int, dec_len: int,
+    mask_quadrants: Tuple[int, ...] = (1, 2),
+    dropout_rate: float = 0.1,
+    interpret: bool = False,
+):
+    """Differentiable fused spatial attention with in-kernel dropout.
+
+    Returns f(q, k, v, classes, lut, col_mask, seed) -> (B, H, L, D).
+    Forward and backward are both Pallas kernels; the backward recomputes
+    masks/probs/dropout in VMEM (flash-style, no (L, L) residuals in HBM).
+    The dropout mask is a deterministic function of (seed, batch, head), so
+    forward and backward agree exactly.
+    """
+    length = q_len + n_ctx + dec_len
+
+    @jax.custom_vjp
+    def attn(q, k, v, classes, lut, col_mask, seed):
+        return spatial_attention_fwd(
+            q, k, v, classes, lut, col_mask, seed,
+            q_len=q_len, n_ctx=n_ctx, dec_len=dec_len,
+            mask_quadrants=mask_quadrants, dropout_rate=dropout_rate,
+            interpret=interpret,
+        )
+
+    def fwd(q, k, v, classes, lut, col_mask, seed):
+        out = attn(q, k, v, classes, lut, col_mask, seed)
+        return out, (q, k, v, classes, lut, col_mask, seed)
+
+    def bwd(res, g):
+        q, k, v, classes, lut, col_mask, seed = res
+        b, h, _, d = q.shape
+        qp, kp, vp, cls_frame, lut_h, cm, l_pad, d_pad = _prepare_inputs(
+            q, k, v, classes, lut, col_mask, q_len, n_ctx, length
+        )
+        gp = jnp.pad(
+            g.astype(q.dtype),
+            ((0, 0), (0, 0), (0, l_pad - length), (0, d_pad - d)),
+        )
+        seed_arr = jnp.asarray([seed], dtype=jnp.int32).reshape(1)
+        kernel = functools.partial(
+            _attention_bwd_kernel,
+            **_kernel_statics(d, q_len, n_ctx, dec_len, length,
+                              mask_quadrants, True, dropout_rate),
+        )
+        dq, dk, dv = pl.pallas_call(
+            kernel,
+            grid=(b, h),
+            in_specs=_in_specs(l_pad, d_pad) + [_qkv_spec(l_pad, d_pad)],
+            out_specs=(
+                _qkv_spec(l_pad, d_pad),
+                _qkv_spec(l_pad, d_pad),
+                _qkv_spec(l_pad, d_pad),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, h, l_pad, d_pad), q.dtype),
+                jax.ShapeDtypeStruct((b, h, l_pad, d_pad), q.dtype),
+                jax.ShapeDtypeStruct((b, h, l_pad, d_pad), q.dtype),
+            ),
+            interpret=interpret,
+        )(qp, kp, vp, cls_frame, lut_h, cm, seed_arr, gp)
+        sl = lambda t: t[:, :, :length, :d]
+        return sl(dq), sl(dk), sl(dv), None, None, None, None
+
+    attn.defvjp(fwd, bwd)
+    return attn

@@ -89,7 +89,19 @@ def train(
     if mesh is None and len(jax.devices()) > 1:
         from ..parallel.mesh import make_mesh
 
-        mesh = make_mesh(model_parallel=model_parallel)
+        # use as many devices as the batch size divides into evenly
+        bs = train_batcher.batch_size
+        dp = len(jax.devices()) // model_parallel
+        while dp > 1 and bs % dp != 0:
+            dp -= 1
+        n_use = dp * model_parallel
+        if n_use > 1:
+            mesh = make_mesh(n_use, model_parallel=model_parallel)
+        else:
+            logger.info(
+                "batch size %d not divisible across %d devices; "
+                "running single-device", bs, len(jax.devices()),
+            )
     if mesh is not None:
         from ..parallel.mesh import batch_sharding, shard_params
 

@@ -132,3 +132,58 @@ def test_model_backend_parity():
         np.asarray(out_pl["scores"]), np.asarray(out_xla["scores"]),
         rtol=2e-5, atol=2e-5,
     )
+
+
+def test_train_gradients_match_backends():
+    """Training-mode gradients (dropout off for comparability): pallas
+    custom-VJP == XLA autodiff through the whole model (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sam_textvqa_tpu.config import task_config_from_dict
+    from sam_textvqa_tpu.data.synthetic import device_batch, make_batch
+    from sam_textvqa_tpu.models.sa_m4c import SAM4C, SAM4CParams
+    from sam_textvqa_tpu.training.loss import m4c_decoding_bce_with_mask
+
+    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 1}})
+    mmt = dataclasses.replace(
+        cfg.mmt, hidden_size=48, intermediate_size=96, ptr_query_size=48,
+        max_obj_num=10, max_ocr_num=6, num_decoding_steps=4, max_seq_length=8,
+        attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+        obj_drop=0.0, ocr_drop=0.0,
+    )
+    tb = dataclasses.replace(
+        cfg.text_bert, hidden_size=48, intermediate_size=96,
+        num_attention_heads=4, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    task = dataclasses.replace(cfg, mmt=mmt, text_bert=tb)
+    pc = SAM4CParams(mmt, tb, 40)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in device_batch(make_batch(task, 2, num_answers_vocab=40)).items()
+    }
+    model_xla = SAM4C(params_cfg=pc)
+    model_pl = SAM4C(params_cfg=pc, attention_backend="pallas")
+    params = model_xla.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+
+    def loss_fn(model):
+        def f(p):
+            out = model.apply(
+                {"params": p}, batch, deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(5)},
+            )
+            return m4c_decoding_bce_with_mask(
+                out["scores"], batch["targets"], batch["train_loss_mask"]
+            )
+        return f
+
+    g_xla = jax.grad(loss_fn(model_xla))(params)
+    with pltpu.force_tpu_interpret_mode():
+        g_pl = jax.grad(loss_fn(model_pl))(params)
+    flat_x = jax.tree_util.tree_flatten_with_path(g_xla)[0]
+    flat_p = jax.tree_util.tree_flatten_with_path(g_pl)[0]
+    for (path, gx), (_, gp) in zip(flat_x, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), rtol=5e-4, atol=5e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )

@@ -1,0 +1,114 @@
+"""End-to-end 'real data' path: generated imdb .npy files + an npz feature
+directory driven through `python train.py` WITHOUT --synthetic — exercising
+build_dataset, offline preprocessing + cache, vocab loading, training, val,
+and eval dumps exactly as a user with downloaded data would."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _make_data(root, n_images=6, n_q=10):
+    rng = np.random.RandomState(0)
+    feat_dir = root / "features"
+    ocr_dir = root / "ocr_features"
+    feat_dir.mkdir()
+    ocr_dir.mkdir()
+    words = ["stop", "exit", "cola", "open", "sale", "bus"]
+    for i in range(n_images):
+        for d, n in ((feat_dir, 9), (ocr_dir, 4)):
+            boxes = rng.rand(n, 4) * 100
+            boxes[:, 2:] += boxes[:, :2] + 5
+            np.savez(
+                d / f"img{i}.npz",
+                features=rng.randn(n, 2048).astype(np.float32),
+                boxes=boxes.astype(np.float32),
+                image_w=200, image_h=100,
+            )
+    entries = [{"dataset": "fixture"}]
+    for q in range(n_q):
+        img = q % n_images
+        toks = [words[rng.randint(len(words))] for _ in range(3)]
+        entries.append(
+            {
+                "question": f"what does sign {q} say",
+                "question_id": 1000 + q,
+                "image_id": f"img{img}",
+                "image_height": 100,
+                "image_width": 200,
+                "answers": [toks[0]] * 10,
+                "google_ocr_tokens_filtered": toks,
+            }
+        )
+    for split in ("train", "val", "test"):
+        np.save(root / f"imdb_{split}.npy",
+                np.array(entries, dtype=object), allow_pickle=True)
+    vocab = root / "vocab5k.txt"
+    vocab.write_text("\n".join(["<pad>", "<s>", "</s>", "<unk>"] + words) + "\n")
+    return feat_dir, ocr_dir, vocab
+
+
+def _config(tmp_path, feat_dir, ocr_dir, vocab):
+    with open(os.path.join(REPO, "configs/train-tvqa-eval-tvqa-c3.yml")) as f:
+        cfg = yaml.safe_load(f)
+    cfg["SA-M4C"].update(
+        hidden_size=48, intermediate_size=96, ptr_query_size=48,
+        max_obj_num=6, max_ocr_num=4, num_decoding_steps=4, max_seq_length=8,
+    )
+    cfg["TextBERT"].update(num_hidden_layers=1, hidden_size=48,
+                           intermediate_size=96, num_attention_heads=4)
+    cfg.update(
+        max_obj_num=6, max_ocr_num=4, max_seq_length=8, batch_size=4,
+        warmup_iters=2, output_dir=str(tmp_path / "save"),
+        # npz feature dirs ignore the trainval/test format slot
+        textvqa_obj=str(feat_dir) + "{}",
+        textvqa_ocr=str(ocr_dir) + "{}",
+        textvqa_imdb=str(tmp_path / "imdb_{}.npy"),
+        textvqa_spatial_cache=str(tmp_path / "cache_{}.pkl"),
+    )
+    cfg["Vocabs"]["vocab5k"] = str(vocab)
+    path = tmp_path / "fixture.yml"
+    path.write_text(yaml.safe_dump(cfg))
+    return str(path)
+
+
+@pytest.mark.slow
+def test_train_on_generated_files(tmp_path):
+    feat_dir, ocr_dir, vocab = _make_data(tmp_path)
+    # the "{}" format slot would break npz dirs; symlink the expected names
+    os.symlink(feat_dir, str(feat_dir) + "trainval")
+    os.symlink(ocr_dir, str(ocr_dir) + "trainval")
+    os.symlink(feat_dir, str(feat_dir) + "test")
+    os.symlink(ocr_dir, str(ocr_dir) + "test")
+    cfg = _config(tmp_path, feat_dir, ocr_dir, vocab)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "train.py", "--config", cfg, "--tag", "realpath",
+         "--max_steps", "2", "--num_train_epochs", "1"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    save_dir = tmp_path / "save" / "realpath"
+    preds = json.loads((save_dir / "evalai_val.json").read_text())
+    assert len(preds) == 10
+    assert all(isinstance(p["answer"], str) for p in preds)
+    # preprocessing cache was written and is reused on the second run
+    assert (tmp_path / "cache_train.pkl").exists()
+    r2 = subprocess.run(
+        [sys.executable, "train.py", "--config", cfg, "--tag", "realpath2",
+         "--max_steps", "1", "--num_train_epochs", "1"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "loading preprocessed cache" in (r2.stderr + r2.stdout)

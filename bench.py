@@ -65,12 +65,15 @@ def main():
 
     for _ in range(WARMUP):
         state, metrics = train_step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
+    # host fetch (not just block_until_ready): on lazy remote platforms a
+    # bare block may not force execution; the donated-state chain makes the
+    # final loss depend on every step, so one scalar fetch bounds them all
+    float(metrics["loss"])
 
     t0 = time.time()
     for _ in range(STEPS):
         state, metrics = train_step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt = time.time() - t0
 
     samples_per_sec = BATCH * STEPS / dt

@@ -55,6 +55,12 @@ def get_args():
         "--prng", choices=["rbg", "threefry"], default="rbg",
         help="rbg (hardware RNG, ~20%% faster dropout) or threefry",
     )
+    parser.add_argument(
+        "--multihost", action="store_true",
+        help="initialize jax.distributed (coordinator/process env vars per "
+             "the standard JAX multi-process setup); the mesh then spans "
+             "all hosts' devices",
+    )
     return parser.parse_args()
 
 
@@ -148,6 +154,8 @@ def main():
     args = get_args()
     import jax
 
+    if args.multihost:
+        jax.distributed.initialize()
     if args.prng == "rbg":
         jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp

@@ -22,6 +22,9 @@ REFERENCE_SAMPLES_PER_SEC = 90.0  # 2x Titan Xp estimate, see docstring
 BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 STEPS = int(os.environ.get("BENCH_STEPS", "30"))
 WARMUP = 3
+# BENCH_MODE=eval benchmarks greedy 12-step decoding (fast cached-encoder
+# path) instead of training
+MODE = os.environ.get("BENCH_MODE", "train")
 
 
 def main():
@@ -58,6 +61,46 @@ def main():
             {"params": jax.random.PRNGKey(0)}, batch, deterministic=True
         )["params"]
     )()
+
+    if MODE == "eval":
+        import jax.numpy as jnp
+
+        from sam_textvqa_tpu.models.fast_decode import greedy_decode_fast
+
+        # chain iterations through a device-side dependency so the lazy
+        # remote runtime cannot elide executions
+        @jax.jit
+        def chained(p, b, carry):
+            b = dict(b)
+            b["question_indices"] = b["question_indices"] + jnp.int32(
+                jnp.sum(carry) * 0
+            )
+            _, pred = greedy_decode_fast(model, p, b, 1)
+            return pred
+
+        carry = jnp.zeros(
+            (BATCH, cfg.mmt.num_decoding_steps), jnp.int32
+        )
+        for _ in range(WARMUP):
+            carry = chained(params, batch, carry)
+        int(jnp.sum(carry))
+        t0 = time.time()
+        for _ in range(STEPS):
+            carry = chained(params, batch, carry)
+        int(jnp.sum(carry))
+        dt = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "metric": "textvqa_greedy_eval_samples_per_sec_per_chip",
+                    "value": round(BATCH * STEPS / dt, 1),
+                    "unit": "samples/s/chip",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
+
     optimizer = make_optimizer(params, cfg)
     state = create_train_state(params, optimizer)
     train_step = jax.jit(make_train_step(model, optimizer), donate_argnums=0)

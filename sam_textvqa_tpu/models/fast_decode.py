@@ -29,6 +29,7 @@ from typing import Dict, List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import MATRIX_TYPE_MAP, MMTConfig
 from ..ops.spatial_graph import relation_head_lut
@@ -36,13 +37,17 @@ from .layers import MASK_BIAS
 
 
 def _dense(p, x):
-    return jnp.matmul(x, p["weight"].T) + p["bias"]
+    return jnp.matmul(x, p["weight"].T.astype(x.dtype)) + p["bias"].astype(
+        x.dtype
+    )
 
 
 def _layernorm(p, x, eps=1e-12):
-    u = x.mean(-1, keepdims=True)
-    s = jnp.square(x - u).mean(-1, keepdims=True)
-    return p["weight"] * ((x - u) / jnp.sqrt(s + eps)) + p["bias"]
+    xf = x.astype(jnp.float32)
+    u = xf.mean(-1, keepdims=True)
+    s = jnp.square(xf - u).mean(-1, keepdims=True)
+    y = p["weight"] * ((xf - u) / jnp.sqrt(s + eps)) + p["bias"]
+    return y.astype(x.dtype)
 
 
 def _gelu(x):
@@ -61,14 +66,14 @@ def _merge_heads(x):
 
 def _attention(q, k, v, bias, zero_fully_masked):
     hd = q.shape[-1]
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd)
-    scores = scores + bias
-    probs = jax.nn.softmax(scores, axis=-1)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
+    scores = scores + bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     if zero_fully_masked:
         row_alive = (jnp.max(bias, axis=-1, keepdims=True) + (-MASK_BIAS)) / (
             -MASK_BIAS
         )
-        probs = probs * row_alive
+        probs = probs * row_alive.astype(probs.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
@@ -128,9 +133,7 @@ def build_mmt_cache(
     n_ctx = spatial_classes.shape[-1]
     quadrants = tuple(cfg.attention_mask_quadrants)
 
-    x = jnp.concatenate(
-        [text_bert_emb, obj_mmt_in, ocr_mmt_in], axis=1
-    ).astype(jnp.float32)
+    x = jnp.concatenate([text_bert_emb, obj_mmt_in, ocr_mmt_in], axis=1)
     col_mask = jnp.concatenate([question_mask, obj_mask, ocr_mask], axis=1)
     col_bias = ((1.0 - col_mask) * MASK_BIAS)[:, None, None, :]
 
@@ -183,7 +186,7 @@ def build_mmt_cache(
         enc_kv=tuple(enc_kv),
         enc_out=x,
         enc_bias_cols=col_bias,
-        ocr_mmt_in=ocr_mmt_in.astype(jnp.float32),
+        ocr_mmt_in=ocr_mmt_in,
         spatial_dec_masked=tuple(dec_spatial_cut),
     )
 
@@ -204,7 +207,7 @@ def _dec_embedding(params, cfg: MMTConfig, classifier_weight, ocr_mmt_in, prev_i
         pp["token_type_embeddings"], token_type_ids, axis=0
     )
     emb = _layernorm(pp["emb_layer_norm"], emb)
-    return raw + emb
+    return raw + emb.astype(raw.dtype)
 
 
 def decode_rows(
@@ -248,23 +251,47 @@ def decode_rows(
         k_dec = _split_heads(_dense(ap["key"], x), h)
         v_dec = _split_heads(_dense(ap["value"], x), h)
         k_enc, v_enc = cache.enc_kv[li]
-        k = jnp.concatenate([k_enc, k_dec], axis=2)
-        v = jnp.concatenate([v_enc, v_dec], axis=2)
         # decoder-row bias: enc cols by padding mask, dec cols causal; a
         # spatial layer masking quadrants 7/8/9 would cut dec rows too —
         # not the shipped config, asserted in build_mmt_cache
-        enc_cols = jnp.broadcast_to(
-            cache.enc_bias_cols, (b, 1, t_len, k_enc.shape[2])
-        )
         if cache.spatial_dec_masked[li]:
             raise NotImplementedError(
                 "quadrants 7/8/9 cut decoder rows; use the scan decoder"
             )
-        bias = jnp.concatenate(
-            [enc_cols, jnp.broadcast_to(dec_bias, (b, 1, t_len, t_len))],
-            axis=-1,
+        # concat SCORES, not K/V: re-materializing the (B,H,Le,hd) encoder
+        # cache per layer per step costs ~50 GB of HBM traffic per batch;
+        # the score tensors are (B,H,T,*) and tiny. Math identical.
+        hd = q.shape[-1]
+        scale = jnp.asarray(1.0 / np.sqrt(hd), q.dtype)
+        scores_enc = jnp.einsum("bhqd,bhkd->bhqk", q, k_enc) * scale
+        scores_dec = jnp.einsum("bhqd,bhkd->bhqk", q, k_dec) * scale
+        enc_cols = jnp.broadcast_to(
+            cache.enc_bias_cols, (b, 1, t_len, k_enc.shape[2])
         )
-        ctx = _merge_heads(_attention(q, k, v, bias, layer_type == "s"))
+        scores = jnp.concatenate(
+            [scores_enc + enc_cols.astype(scores_enc.dtype),
+             scores_dec + dec_bias.astype(scores_dec.dtype)], axis=-1
+        )
+        probs = jax.nn.softmax(
+            scores.astype(jnp.float32), axis=-1
+        ).astype(q.dtype)
+        # decoder rows always see unmasked encoder columns in practice, but
+        # keep the fully-masked-row zeroing for spatial layers for exact
+        # parity with the full forward (reference sa_m4c.py:574-584)
+        if layer_type == "s":
+            full_bias = jnp.concatenate(
+                [jnp.broadcast_to(enc_cols, scores_enc.shape),
+                 jnp.broadcast_to(dec_bias, scores_dec.shape)], axis=-1
+            )
+            row_alive = (
+                jnp.max(full_bias, axis=-1, keepdims=True) + (-MASK_BIAS)
+            ) / (-MASK_BIAS)
+            probs = probs * row_alive.astype(probs.dtype)
+        le = k_enc.shape[2]
+        ctx = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs[..., :le], v_enc
+        ) + jnp.einsum("bhqk,bhkd->bhqd", probs[..., le:], v_dec)
+        ctx = _merge_heads(ctx)
         op = lp["attention_output"]
         attn_out = _layernorm(op["LayerNorm"], _dense(op["dense"], ctx) + x)
         x = _ffn(lp, attn_out, attn_out)
@@ -272,13 +299,15 @@ def decode_rows(
     # output heads (classifier + pointer net over cached OCR outputs)
     ocr_begin = cfg.max_seq_length + cfg.max_obj_num
     ocr_out = cache.enc_out[:, ocr_begin : ocr_begin + cfg.max_ocr_num]
-    fixed = jnp.matmul(x, classifier_weight.T) + params["classifier_bias"]
+    fixed = jnp.matmul(x, classifier_weight.T.astype(x.dtype)) + params[
+        "classifier_bias"
+    ].astype(x.dtype)
     pn = params["ocr_ptr_net"]
     qd = _dense(pn["query"], x)
     kd = _dense(pn["key"], ocr_out)
     dk = qd.shape[-1]
-    dyn = jnp.einsum("btd,bkd->btk", qd, kd) / jnp.sqrt(dk)
-    dyn = dyn + ((1.0 - ocr_mask) * MASK_BIAS)[:, None, :]
+    dyn = jnp.einsum("btd,bkd->btk", qd, kd) / jnp.asarray(np.sqrt(dk), x.dtype)
+    dyn = dyn + (((1.0 - ocr_mask) * MASK_BIAS)[:, None, :]).astype(x.dtype)
     return jnp.concatenate([fixed, dyn], axis=-1)
 
 
@@ -298,9 +327,9 @@ def greedy_decode_fast(model, params, batch, bos_idx: int):
     cache = build_mmt_cache(
         params,
         cfg,
-        encodings["text_bert_emb"].astype(jnp.float32),
-        encodings["obj_mmt_in"].astype(jnp.float32),
-        encodings["ocr_mmt_in"].astype(jnp.float32),
+        encodings["text_bert_emb"],
+        encodings["obj_mmt_in"],
+        encodings["ocr_mmt_in"],
         batch["question_mask"].astype(jnp.float32),
         batch["pad_obj_mask"].astype(jnp.float32),
         batch["pad_ocr_mask"].astype(jnp.float32),
@@ -343,9 +372,9 @@ def beam_search_decode_fast(
     cache = build_mmt_cache(
         params,
         cfg,
-        encodings["text_bert_emb"].astype(jnp.float32),
-        encodings["obj_mmt_in"].astype(jnp.float32),
-        encodings["ocr_mmt_in"].astype(jnp.float32),
+        encodings["text_bert_emb"],
+        encodings["obj_mmt_in"],
+        encodings["ocr_mmt_in"],
         batch["question_mask"].astype(jnp.float32),
         batch["pad_obj_mask"].astype(jnp.float32),
         batch["pad_ocr_mask"].astype(jnp.float32),

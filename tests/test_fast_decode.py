@@ -90,3 +90,16 @@ def test_fast_beam_matches_slow_beam(tiny):
     np.testing.assert_allclose(
         np.asarray(scores_fast), np.asarray(scores_ref), rtol=2e-5, atol=2e-5
     )
+
+
+def test_fast_greedy_bf16_agreement(tiny):
+    """bf16 fast decode vs bf16 scan decode: same predictions (small score
+    drift allowed)."""
+    task, model, batch, params = tiny
+    model16 = SAM4C(
+        params_cfg=model.params_cfg, dtype=jnp.bfloat16
+    )
+    s_ref, p_ref = greedy_decode(model16, params, batch, bos_idx=BOS)
+    s_fast, p_fast = greedy_decode_fast(model16, params, batch, bos_idx=BOS)
+    agree = float(np.mean(np.asarray(p_fast) == np.asarray(p_ref)))
+    assert agree >= 0.9, agree

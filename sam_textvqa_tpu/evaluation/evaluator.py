@@ -82,11 +82,15 @@ class Evaluator:
         params,
         batches,
         device_put=None,
+        gt_answers_by_qid: Optional[Dict[int, List[str]]] = None,
     ) -> Dict:
         """Greedy-decode every batch; returns accuracy + EvalAI predictions.
 
         ``batches`` yields host batch dicts (with ``_ocr_tokens``,
         ``_answers``, ``question_id`` and optionally ``_real_count``).
+        ``gt_answers_by_qid`` supplies ground truth externally when the
+        split carries none — the analogue of the reference's eval_df pickle
+        join (reference evaluator.py:67-93, 304-356).
         """
         greedy = self._greedy_fn()
         all_preds: List[Dict] = []
@@ -116,6 +120,8 @@ class Evaluator:
                     "belongs_to": decoded[i]["belongs_to"],
                 }
                 gt = host_only["_answers"][i]
+                if not gt and gt_answers_by_qid:
+                    gt = gt_answers_by_qid.get(int(qids[i]), [])
                 if gt:
                     scored_preds.append({**entry, "gt_answers": list(gt)})
                 all_preds.append(entry)
@@ -146,9 +152,12 @@ class Evaluator:
         params,
         batches,
         beam_size: int,
+        gt_answers_by_qid: Optional[Dict[int, List[str]]] = None,
     ) -> Dict:
-        """Beam-search decode; per-question best-beam answer
-        (reference evaluator.py:304-356 picks argmax topkscores)."""
+        """Beam-search decode; per-question best-beam answer, scored with
+        BOTH the VQA soft metric and ANLS like the reference beam evaluator
+        (reference evaluator.py:88-93 computes vqa and anls accuracies;
+        :344-351 picks the argmax-topkscores beam per question)."""
         from ..models.beam_search import beam_search_decode
         from ..models.fast_decode import beam_search_decode_fast
 
@@ -191,15 +200,19 @@ class Evaluator:
                     "topkscore": float(scores[i, best[i]]),
                 }
                 gt = host_only["_answers"][i]
+                if not gt and gt_answers_by_qid:
+                    gt = gt_answers_by_qid.get(int(qids[i]), [])
                 if gt:
                     scored_preds.append({**entry, "gt_answers": list(gt)})
                 all_preds.append(entry)
 
-        accuracy = None
+        accuracy = anls = None
         if scored_preds:
             accuracy, _ = self.metric_evaluator.eval_pred_list(scored_preds)
+            anls, _ = STVQAANLSEvaluator().eval_pred_list(scored_preds)
         return {
             "accuracy": accuracy,
+            "anls": anls,
             "predictions": all_preds,
             "num_scored": len(scored_preds),
         }

@@ -1,0 +1,79 @@
+"""Evaluator driver tests: greedy and beam split runs, external ground
+truth (eval_df analogue), EvalAI dumps."""
+
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sam_textvqa_tpu.config import task_config_from_dict
+from sam_textvqa_tpu.data.dataset import EpochBatcher
+from sam_textvqa_tpu.data.synthetic import SyntheticDataset
+from sam_textvqa_tpu.data.vocab import VocabDict
+from sam_textvqa_tpu.evaluation.evaluator import Evaluator
+from sam_textvqa_tpu.models.sa_m4c import SAM4C, SAM4CParams
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 1}})
+    mmt = dataclasses.replace(
+        cfg.mmt, hidden_size=48, intermediate_size=96, ptr_query_size=48,
+        max_obj_num=8, max_ocr_num=6, num_decoding_steps=4, max_seq_length=8,
+    )
+    tb = dataclasses.replace(
+        cfg.text_bert, hidden_size=48, intermediate_size=96, num_attention_heads=4
+    )
+    task = dataclasses.replace(cfg, mmt=mmt, text_bert=tb)
+    words = ["<pad>", "<s>", "</s>", "<unk>"] + [f"w{i}" for i in range(40)]
+    vocab = VocabDict(words)
+    model = SAM4C(params_cfg=SAM4CParams(mmt, tb, len(vocab)))
+    ds = SyntheticDataset(task, 12, num_answers_vocab=len(vocab))
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in ds.get_batch(range(2)).items()
+        if not k.startswith("_") and k != "question_id"
+    }
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    return task, model, vocab, ds, params
+
+
+def test_run_split_greedy(setup, tmp_path):
+    task, model, vocab, ds, params = setup
+    ev = Evaluator(model, vocab)
+    result = ev.run_split(params, EpochBatcher(ds, 4, shuffle=False).epoch_batches())
+    assert result["num_scored"] == 12
+    assert len(result["predictions"]) == 12
+    assert result["accuracy"] is not None
+    out = ev.dump_evalai(result, str(tmp_path / "evalai.json"))
+    payload = json.loads(open(out).read())
+    assert len(payload) == 12 and {"question_id", "answer"} <= set(payload[0])
+
+
+def test_run_split_external_gt(setup):
+    task, model, vocab, ds, params = setup
+    ds_no_ans = SyntheticDataset(task, 12, num_answers_vocab=len(vocab),
+                                 with_answers=False)
+    ev = Evaluator(model, vocab)
+    r = ev.run_split(params, EpochBatcher(ds_no_ans, 4, shuffle=False).epoch_batches())
+    assert r["num_scored"] == 0 and r["accuracy"] is None
+    gt = {int(q): ["stop"] * 10 for q in ds_no_ans.pool["question_id"]}
+    r2 = ev.run_split(
+        params, EpochBatcher(ds_no_ans, 4, shuffle=False).epoch_batches(),
+        gt_answers_by_qid=gt,
+    )
+    assert r2["num_scored"] == 12 and r2["accuracy"] is not None
+
+
+def test_run_split_beam_reports_vqa_and_anls(setup):
+    task, model, vocab, ds, params = setup
+    ev = Evaluator(model, vocab)
+    r = ev.run_split_beam(
+        params, EpochBatcher(ds, 4, shuffle=False).epoch_batches(), beam_size=2
+    )
+    assert r["num_scored"] == 12
+    assert r["accuracy"] is not None and r["anls"] is not None
+    assert all("topkscore" in p for p in r["predictions"])

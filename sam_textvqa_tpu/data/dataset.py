@@ -375,7 +375,14 @@ class ConcatDataset:
 
 class EpochBatcher:
     """Shuffled fixed-size batches per epoch (drop_last=False like the
-    reference DataLoader, task_utils.py:156-164)."""
+    reference DataLoader, task_utils.py:156-164).
+
+    ``num_workers > 0`` assembles batches in a thread pool (numpy copies
+    release the GIL) with order preserved — the analogue of the reference's
+    16 DataLoader workers. Each batch draws from its own deterministic RNG
+    stream seeded by (seed, epoch, batch_index), so results are reproducible
+    at any worker count.
+    """
 
     def __init__(
         self,
@@ -384,23 +391,26 @@ class EpochBatcher:
         shuffle: bool = True,
         seed: int = 0,
         pad_final: bool = True,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.pad_final = pad_final
+        self.num_workers = num_workers
         self.epoch = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
         return (n + self.batch_size - 1) // self.batch_size
 
-    def epoch_batches(self):
+    def _epoch_specs(self, epoch: int):
         n = len(self.dataset)
-        rng = np.random.RandomState(self.seed + self.epoch)
+        rng = np.random.RandomState(self.seed + epoch)
         order = rng.permutation(n) if self.shuffle else np.arange(n)
-        for s in range(0, n, self.batch_size):
+        specs = []
+        for bi, s in enumerate(range(0, n, self.batch_size)):
             idx = order[s : s + self.batch_size]
             pad_to = self.batch_size if self.pad_final else len(idx)
             real = len(idx)
@@ -408,7 +418,41 @@ class EpochBatcher:
                 # fixed shapes for XLA: repeat-pad the final batch and mark
                 # the padding via _real_count so metrics ignore it
                 idx = np.concatenate([idx, order[: pad_to - real]])
-            batch = self.dataset.get_batch(idx.tolist(), rng)
-            batch["_real_count"] = real
-            yield batch
+            specs.append((bi, idx, real))
+        return specs
+
+    def _assemble(self, epoch: int, spec):
+        bi, idx, real = spec
+        rng = np.random.RandomState(
+            (self.seed * 1_000_003 + epoch * 9_973 + bi) % (2**31 - 1)
+        )
+        batch = self.dataset.get_batch(idx.tolist(), rng)
+        batch["_real_count"] = real
+        return batch
+
+    def epoch_batches(self):
+        epoch = self.epoch
+        specs = self._epoch_specs(epoch)
+        if self.num_workers <= 0:
+            for spec in specs:
+                yield self._assemble(epoch, spec)
+        else:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            # bounded look-ahead: at most num_workers + 2 batches in flight
+            # (each assembled batch is tens of MB)
+            window = self.num_workers + 2
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                pending = deque()
+                for spec in specs[:window]:
+                    pending.append(pool.submit(self._assemble, epoch, spec))
+                next_i = min(window, len(specs))
+                while pending:
+                    yield pending.popleft().result()
+                    if next_i < len(specs):
+                        pending.append(
+                            pool.submit(self._assemble, epoch, specs[next_i])
+                        )
+                        next_i += 1
         self.epoch += 1

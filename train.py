@@ -143,10 +143,12 @@ def build_datasets(task_cfg, args, vocab):
             splits[split] = parts[0] if len(parts) == 1 else ConcatDataset(parts)
         train_ds, val_ds, test_ds = splits["train"], splits["val"], splits["test"]
 
+    workers = min(task_cfg.num_workers, os.cpu_count() or 1)
     return (
-        EpochBatcher(train_ds, batch_size, shuffle=True, seed=task_cfg.seed),
-        EpochBatcher(val_ds, batch_size, shuffle=False),
-        EpochBatcher(test_ds, batch_size, shuffle=False),
+        EpochBatcher(train_ds, batch_size, shuffle=True, seed=task_cfg.seed,
+                     num_workers=workers),
+        EpochBatcher(val_ds, batch_size, shuffle=False, num_workers=workers),
+        EpochBatcher(test_ds, batch_size, shuffle=False, num_workers=workers),
     )
 
 

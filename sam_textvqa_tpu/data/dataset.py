@@ -166,12 +166,15 @@ class SAMDataset:
             )[..., :PHOC_DIM].astype(np.float32),
             "spatial_classes": p.spatial_classes[indices],
             "train_prev_inds": np.zeros((bsz, t), np.int32),
-            "train_loss_mask": np.zeros((bsz, t), np.float32),
-            "targets": np.zeros((bsz, t, vocab_total), np.float32),
             "question_id": p.question_id[indices],
             "_ocr_tokens": [p.ocr_tokens[i] for i in indices],
             "_answers": [p.answers[i] for i in indices],
         }
+        if rng is not None:
+            # training supervision (skipped for decode-only eval batches —
+            # targets alone is (B, T, vocab+OCR) ~ 23 MB per batch of 96)
+            batch["train_loss_mask"] = np.zeros((bsz, t), np.float32)
+            batch["targets"] = np.zeros((bsz, t, vocab_total), np.float32)
         for row, i in enumerate(indices):
             image_id = p.image_ids[i]
             of, om, ob = self._features("obj", image_id)
@@ -392,6 +395,7 @@ class EpochBatcher:
         seed: int = 0,
         pad_final: bool = True,
         num_workers: int = 0,
+        supervised: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -399,6 +403,8 @@ class EpochBatcher:
         self.seed = seed
         self.pad_final = pad_final
         self.num_workers = num_workers
+        # supervised=False skips building training targets (decode-only eval)
+        self.supervised = supervised
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -423,9 +429,11 @@ class EpochBatcher:
 
     def _assemble(self, epoch: int, spec):
         bi, idx, real = spec
-        rng = np.random.RandomState(
-            (self.seed * 1_000_003 + epoch * 9_973 + bi) % (2**31 - 1)
-        )
+        rng = None
+        if self.supervised:
+            rng = np.random.RandomState(
+                (self.seed * 1_000_003 + epoch * 9_973 + bi) % (2**31 - 1)
+            )
         batch = self.dataset.get_batch(idx.tolist(), rng)
         batch["_real_count"] = real
         return batch

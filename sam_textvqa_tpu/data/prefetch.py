@@ -5,13 +5,18 @@ The reference overlaps host work with compute via 16 DataLoader workers
 batches while the TPU runs the current step, and arrays are `device_put`
 ahead of time (optionally with a sharding), so the device never idles on
 input.
+
+The iterator shuts the producer down cleanly when the consumer stops early
+(e.g. a ``--max_steps`` break): closing/abandoning the generator sets a stop
+event the producer checks on every bounded put, so no thread or device
+buffer is leaked.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import jax
 
@@ -25,7 +30,17 @@ def prefetch_to_device(
     ahead. Host-only keys (prefixed ``_``) pass through untouched."""
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
+    stop = threading.Event()
     _END = object()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
@@ -40,17 +55,36 @@ def prefetch_to_device(
                     }
                 else:
                     dev = {k: jax.device_put(v) for k, v in dev.items()}
-                q.put({**dev, **host})
-            q.put(_END)
+                if not _put({**dev, **host}):
+                    return
+            _put(_END)
         except BaseException as e:  # surface worker errors to the consumer
-            q.put(e)
+            _put(e)
+        finally:
+            # release the source iterator (stops nested worker pools)
+            close = getattr(batch_iter, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # consumer stopped (break / close / exception): unblock the producer
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        thread.join(timeout=5.0)

@@ -169,17 +169,11 @@ def match_answer_to_vocab_ocr_seq(
 
 def unique_answer_scores(answers: Sequence[str]) -> Dict[str, float]:
     """Leave-one-out 10-annotator soft scores on the *raw* (cleaned) answers
-    (reference processors.py:592-608)."""
-    gt = list(enumerate(answers))
-    out: Dict[str, float] = {}
-    for ua in sorted(set(answers)):
-        accs = []
-        for g in gt:
-            others = [o for o in gt if o != g]
-            matching = [o for o in others if o[1] == ua]
-            accs.append(min(1.0, len(matching) / 3.0))
-        out[ua] = sum(accs) / len(accs)
-    return out
+    (reference processors.py:592-608). Same primitive as the eval metric,
+    without EvalAI normalization."""
+    from ..evaluation.metrics import leave_one_out_scores
+
+    return leave_one_out_scores(answers)
 
 
 @dataclass

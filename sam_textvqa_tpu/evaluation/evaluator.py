@@ -35,6 +35,23 @@ METRIC_EVALUATORS = {
     "anls": STVQAANLSEvaluator,
 }
 
+#: batch keys the decoder actually reads — training-only arrays (targets is
+#: (B, T, vocab+OCR) ~ 23 MB/batch) are never shipped to device during eval
+DECODE_KEYS = (
+    "question_indices",
+    "question_mask",
+    "pad_obj_features",
+    "pad_obj_mask",
+    "pad_obj_bboxes",
+    "pad_ocr_features",
+    "pad_ocr_mask",
+    "pad_ocr_bboxes",
+    "ocr_fasttext",
+    "ocr_phoc",
+    "spatial_classes",
+    "train_prev_inds",
+)
+
 
 class Evaluator:
     def __init__(
@@ -59,6 +76,10 @@ class Evaluator:
         if "i" in cfg.layer_type_list:
             return False
         if any(q in (7, 8, 9) for q in cfg.attention_mask_quadrants):
+            return False
+        # the fast path assumes spatial layers use the same head count as
+        # normal layers (true of every shipped config)
+        if cfg.num_attention_heads != cfg.num_spatial_relations:
             return False
         return True
 
@@ -97,11 +118,10 @@ class Evaluator:
         scored_preds: List[Dict] = []
         for batch in batches:
             host_only = {k: v for k, v in batch.items() if k.startswith("_")}
+            qids = np.asarray(batch["question_id"])
             device_batch = {
-                k: v for k, v in batch.items() if not k.startswith("_")
+                k: jnp.asarray(batch[k]) for k in DECODE_KEYS if k in batch
             }
-            qids = np.asarray(device_batch.pop("question_id"))
-            device_batch = {k: jnp.asarray(v) for k, v in device_batch.items()}
             if device_put is not None:
                 device_batch = device_put(device_batch)
             _, pred_ids = greedy(params, device_batch)
@@ -176,11 +196,10 @@ class Evaluator:
         scored_preds: List[Dict] = []
         for batch in batches:
             host_only = {k: v for k, v in batch.items() if k.startswith("_")}
+            qids = np.asarray(batch["question_id"])
             device_batch = {
-                k: v for k, v in batch.items() if not k.startswith("_")
+                k: jnp.asarray(batch[k]) for k in DECODE_KEYS if k in batch
             }
-            qids = np.asarray(device_batch.pop("question_id"))
-            device_batch = {k: jnp.asarray(v) for k, v in device_batch.items()}
             seqs, scores = beam_fn(params, device_batch)
             seqs = np.asarray(seqs)      # (B, K, T) incl. BOS at 0
             scores = np.asarray(scores)  # (B, K)

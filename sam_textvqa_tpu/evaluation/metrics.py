@@ -125,11 +125,11 @@ class EvalAIAnswerProcessor:
         return item
 
 
-def compute_vqa_soft_scores(raw_answers: Sequence[str]) -> Dict[str, float]:
-    """10-annotator soft score per unique answer (reference metrics.py:309-330)."""
-    processor = EvalAIAnswerProcessor()
-    answers = [processor(a) for a in raw_answers]
-    assert len(answers) == 10
+def leave_one_out_scores(answers: Sequence[str]) -> Dict[str, float]:
+    """The VQA 10-annotator leave-one-out soft score per unique answer —
+    the shared primitive behind both the eval metric (reference
+    metrics.py:309-330) and training-target construction (reference
+    processors.py:592-608)."""
     gt_answers = list(enumerate(answers))
     scores: Dict[str, float] = {}
     for unique_answer in set(answers):
@@ -140,6 +140,15 @@ def compute_vqa_soft_scores(raw_answers: Sequence[str]) -> Dict[str, float]:
             accs.append(min(1.0, len(matching) / 3.0))
         scores[unique_answer] = sum(accs) / len(accs)
     return scores
+
+
+def compute_vqa_soft_scores(raw_answers: Sequence[str]) -> Dict[str, float]:
+    """10-annotator soft score per unique EvalAI-normalized answer
+    (reference metrics.py:309-330)."""
+    processor = EvalAIAnswerProcessor()
+    answers = [processor(a) for a in raw_answers]
+    assert len(answers) == 10
+    return leave_one_out_scores(answers)
 
 
 class TextVQAAccuracyEvaluator:

@@ -129,6 +129,12 @@ def build_mmt_cache(
     """Phase 1: one pass of the MMT layers over the encoder tokens."""
     mmt_p = params["mmt"]
     h = cfg.num_attention_heads
+    # the fast path assumes uniform head counts across layer types
+    # (Evaluator._fast_supported guards this; every shipped config complies)
+    assert cfg.num_attention_heads == cfg.num_spatial_relations, (
+        "fast decode requires num_attention_heads == num_spatial_relations; "
+        "use the scan decoder"
+    )
     q_len = cfg.max_seq_length
     n_ctx = spatial_classes.shape[-1]
     quadrants = tuple(cfg.attention_mask_quadrants)

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -117,6 +118,9 @@ class SpatialBertSelfAttention(nn.Module):
         k = split(Dense(self.hidden_size, dtype=self.dtype, name="key")(x))
         v = split(Dense(self.hidden_size, dtype=self.dtype, name="value")(x))
 
+        # pallas kernels only compile for TPU; CPU (tests, virtual meshes)
+        # runs them interpreted
+        interpret = jax.default_backend() == "cpu"
         if pallas_ctx is not None and deterministic:
             from ..ops.fused_attention import spatial_attention_fwd
 
@@ -131,6 +135,7 @@ class SpatialBertSelfAttention(nn.Module):
                 n_ctx=pallas_ctx["n_ctx"],
                 dec_len=pallas_ctx["dec_len"],
                 mask_quadrants=pallas_ctx["quadrants"],
+                interpret=interpret,
             ).astype(self.dtype)
         elif pallas_ctx is not None:
             # training: fused fwd+bwd kernel with in-kernel dropout
@@ -143,6 +148,7 @@ class SpatialBertSelfAttention(nn.Module):
                 dec_len=pallas_ctx["dec_len"],
                 mask_quadrants=pallas_ctx["quadrants"],
                 dropout_rate=self.dropout_rate,
+                interpret=interpret,
             )
             if self.dropout_rate > 0.0:
                 seed = jax.random.randint(

@@ -199,12 +199,6 @@ def convert_torch_state_dict(state_dict: Dict[str, Any], params_template):
     s = sum(1 for x in mmt_names if x.startswith("spatial_layer_"))
     i = sum(1 for x in mmt_names if x.startswith("implicit_layer_"))
     layer_types = ["n"] * n + ["s"] * s + ["i"] * i  # mapping ignores order
-    tb_layers = sum(
-        1
-        for path, _ in flat_template[0]
-        if [p.key for p in path if hasattr(p, "key")][:2]
-        == ["text_bert", "embeddings"]
-    )
     tb_layers = len(
         {
             [p.key for p in path if hasattr(p, "key")][1]

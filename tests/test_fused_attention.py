@@ -187,3 +187,48 @@ def test_train_gradients_match_backends():
             np.asarray(gp), np.asarray(gx), rtol=5e-4, atol=5e-5,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_train_with_dropout_runs_pallas_path():
+    """The fused train kernel with in-kernel dropout must run end-to-end
+    through the model (this path once crashed on a missing import — it is
+    only reachable with deterministic=False and dropout > 0)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sam_textvqa_tpu.config import task_config_from_dict
+    from sam_textvqa_tpu.data.synthetic import device_batch, make_batch
+    from sam_textvqa_tpu.models.sa_m4c import SAM4C, SAM4CParams
+    from sam_textvqa_tpu.training.loss import m4c_decoding_bce_with_mask
+
+    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 1}})
+    mmt = dataclasses.replace(
+        cfg.mmt, hidden_size=48, intermediate_size=96, ptr_query_size=48,
+        max_obj_num=8, max_ocr_num=6, num_decoding_steps=4, max_seq_length=8,
+    )
+    tb = dataclasses.replace(
+        cfg.text_bert, hidden_size=48, intermediate_size=96, num_attention_heads=4
+    )
+    task = dataclasses.replace(cfg, mmt=mmt, text_bert=tb)
+    model = SAM4C(params_cfg=SAM4CParams(mmt, tb, 40), attention_backend="pallas")
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in device_batch(make_batch(task, 2, num_answers_vocab=40)).items()
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch,
+    )["params"]
+
+    def loss_fn(p):
+        out = model.apply(
+            {"params": p}, batch, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(3)},
+        )
+        return m4c_decoding_bce_with_mask(
+            out["scores"], batch["targets"], batch["train_loss_mask"]
+        )
+
+    with pltpu.force_tpu_interpret_mode():
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))

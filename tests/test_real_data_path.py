@@ -87,6 +87,9 @@ def test_train_on_generated_files(tmp_path):
     os.symlink(ocr_dir, str(ocr_dir) + "trainval")
     os.symlink(feat_dir, str(feat_dir) + "test")
     os.symlink(ocr_dir, str(ocr_dir) + "test")
+    # a missing optional split must not block training (only train is
+    # required; the reference crashes in this case)
+    os.remove(tmp_path / "imdb_test.npy")
     cfg = _config(tmp_path, feat_dir, ocr_dir, vocab)
 
     env = dict(os.environ)

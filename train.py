@@ -64,6 +64,31 @@ def get_args():
     return parser.parse_args()
 
 
+def load_eval_gt(task_cfg, split):
+    """{question_id: answers} from the configured Evaluation pickle, if
+    present — the reference joins predictions against these eval_df pickles
+    when the split's imdb carries no answers (reference evaluator.py:67-93).
+
+    Accepts a pandas DataFrame with question_id/answers columns or a plain
+    {qid: answers} dict.
+    """
+    dataset = task_cfg.val_on[0] if task_cfg.val_on else "textvqa"
+    path = task_cfg.evaluation.get(f"{dataset}_{split}", "")
+    if not path or not os.path.exists(path):
+        return None
+    import pickle
+
+    with open(path, "rb") as f:
+        obj = pickle.load(f)
+    if isinstance(obj, dict):
+        return {int(k): list(v) for k, v in obj.items()}
+    # pandas DataFrame (the reference's format)
+    return {
+        int(q): list(a)
+        for q, a in zip(obj["question_id"], obj["answers"])
+    }
+
+
 def build_vocab(task_cfg):
     """Answer vocab from the configured file, or a synthetic one."""
     from sam_textvqa_tpu.data.vocab import VocabDict
@@ -126,6 +151,11 @@ def build_datasets(task_cfg, args, vocab):
             parts = []
             names = getattr(task_cfg, f"{split}_on")
             for dset in names:
+                if not imdb_exists(dset, split):
+                    # a missing optional split (e.g. test data not
+                    # downloaded) must not block training
+                    logger.warning("split %s/%s missing; skipping", dset, split)
+                    continue
                 prefix = "textvqa" if dset == "textvqa" else "stvqa"
                 fmt = "trainval" if split in ("train", "val") else "test"
                 obj_src = open_feature_source(
@@ -140,16 +170,24 @@ def build_datasets(task_cfg, args, vocab):
                         cache_path=cache.format(split) if cache else None,
                     )
                 )
-            splits[split] = parts[0] if len(parts) == 1 else ConcatDataset(parts)
+            if not parts:
+                splits[split] = None
+            else:
+                splits[split] = parts[0] if len(parts) == 1 else ConcatDataset(parts)
         train_ds, val_ds, test_ds = splits["train"], splits["val"], splits["test"]
 
     workers = min(task_cfg.num_workers, os.cpu_count() or 1)
-    return (
-        EpochBatcher(train_ds, batch_size, shuffle=True, seed=task_cfg.seed,
-                     num_workers=workers),
-        EpochBatcher(val_ds, batch_size, shuffle=False, num_workers=workers),
-        EpochBatcher(test_ds, batch_size, shuffle=False, num_workers=workers),
-    )
+
+    def batcher(ds, train):
+        if ds is None:
+            return None
+        return EpochBatcher(
+            ds, batch_size, shuffle=train,
+            seed=task_cfg.seed if train else 0, num_workers=workers,
+            supervised=train,  # val/test are decode-only (no targets built)
+        )
+
+    return batcher(train_ds, True), batcher(val_ds, False), batcher(test_ds, False)
 
 
 def main():
@@ -215,17 +253,25 @@ def main():
         params = restored["params"]
         out_dir = os.path.dirname(args.pretrained_eval.rstrip("/"))
         for split, batcher in (("test", test_batcher), ("val", val_batcher)):
+            if batcher is None:
+                continue
+            gt = load_eval_gt(task_cfg, split)
             if args.beam_size > 1:
                 result = evaluator.run_split_beam(
-                    params, batcher.epoch_batches(), args.beam_size
+                    params, batcher.epoch_batches(), args.beam_size,
+                    gt_answers_by_qid=gt,
                 )
                 name = f"evalai_{split}_beam_{args.beam_size}.json"
             else:
-                result = evaluator.run_split(params, batcher.epoch_batches())
+                result = evaluator.run_split(
+                    params, batcher.epoch_batches(), gt_answers_by_qid=gt
+                )
                 name = f"evalai_{split}.json"
             evaluator.dump_evalai(result, os.path.join(out_dir, name))
             if result["accuracy"] is not None:
                 logger.info("%s accuracy: %.4f", split, result["accuracy"])
+            if result.get("anls") is not None:
+                logger.info("%s anls: %.4f", split, result["anls"])
         return
 
     state = train(
@@ -245,7 +291,12 @@ def main():
 
     # final eval with the trained weights (reference train.py:215-225)
     for split, batcher in (("test", test_batcher), ("val", val_batcher)):
-        result = evaluator.run_split(state.params, batcher.epoch_batches())
+        if batcher is None:
+            continue
+        result = evaluator.run_split(
+            state.params, batcher.epoch_batches(),
+            gt_answers_by_qid=load_eval_gt(task_cfg, split),
+        )
         evaluator.dump_evalai(
             result, os.path.join(save_path, f"evalai_{split}.json")
         )

@@ -91,3 +91,21 @@ def test_cli_missing_data_message(tmp_path):
     r = _run(["--config", cfg, "--tag", "t2"])
     assert r.returncode != 0
     assert "synthetic" in (r.stderr + r.stdout)
+
+
+@pytest.mark.slow
+def test_cli_c5_config(tmp_path):
+    """context-5 spatial masks through the CLI (share5 mix list)."""
+    cfg = _tiny_config(tmp_path)
+    with open(cfg) as f:
+        raw = yaml.safe_load(f)
+    raw["TextBERT"].update(hidden_size=48, intermediate_size=96,
+                           num_attention_heads=4, num_hidden_layers=1)
+    raw["mix_list"] = ["none", "none", "share5", "share5", "share5", "share5"]
+    raw["SA-M4C"]["mix_list"] = raw["mix_list"]
+    with open(cfg, "w") as f:
+        f.write(yaml.safe_dump(raw))
+    r = _run(["--config", cfg, "--tag", "c5", "--synthetic", "16",
+              "--batch_size", "8", "--max_steps", "2",
+              "--num_train_epochs", "1"])
+    assert r.returncode == 0, r.stderr[-3000:]

@@ -203,11 +203,16 @@ def _dec_embedding(params, cfg: MMTConfig, classifier_weight, ocr_mmt_in, prev_i
     ans_num = classifier_weight.shape[0]
     b, t = prev_inds.shape
     ans_emb = _layernorm(pp["ans_layer_norm"], classifier_weight)
-    ocr_emb = _layernorm(pp["ocr_layer_norm"], ocr_mmt_in)
-    table = jnp.concatenate(
-        [jnp.broadcast_to(ans_emb[None], (b,) + ans_emb.shape), ocr_emb], axis=1
+    ocr_emb = _layernorm(pp["ocr_layer_norm"], ocr_mmt_in).astype(ans_emb.dtype)
+    # two-gather select instead of materializing the batch-broadcast
+    # (B, vocab+OCR, D) table (see models/mmt.py PrevPredEmbeddings)
+    prev = prev_inds.astype(jnp.int32)
+    is_vocab = prev < ans_num
+    from_vocab = jnp.take(ans_emb, jnp.where(is_vocab, prev, 0), axis=0)
+    from_ocr = jnp.take_along_axis(
+        ocr_emb, jnp.where(is_vocab, 0, prev - ans_num)[:, :, None], axis=1
     )
-    raw = jnp.take_along_axis(table, prev_inds[:, :, None].astype(jnp.int32), axis=1)
+    raw = jnp.where(is_vocab[:, :, None], from_vocab, from_ocr)
     token_type_ids = (prev_inds >= ans_num).astype(jnp.int32)
     emb = pp["position_embeddings"][None, :t] + jnp.take(
         pp["token_type_embeddings"], token_type_ids, axis=0

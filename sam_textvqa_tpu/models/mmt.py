@@ -52,12 +52,21 @@ class PrevPredEmbeddings(nn.Module):
         ocr_emb = LayerNormTF(
             epsilon=self.layer_norm_eps, dtype=self.dtype, name="ocr_layer_norm"
         )(ocr_emb)
-        ans_ocr = jnp.concatenate(
-            [jnp.broadcast_to(ans_emb[None], (b,) + ans_emb.shape), ocr_emb], axis=1
+        # The reference concatenates [ans_emb (broadcast to batch); ocr_emb]
+        # and batch-gathers (sa_m4c.py:932-934). Materializing that
+        # (B, vocab+OCR, D) table costs ~0.5 GB per step at batch 64; an
+        # equivalent two-gather select reads only what's indexed.
+        prev = prev_inds.astype(jnp.int32)
+        is_vocab = prev < ans_num
+        from_vocab = jnp.take(
+            ans_emb, jnp.where(is_vocab, prev, 0), axis=0
         )
-        raw_dec_emb = jnp.take_along_axis(
-            ans_ocr, prev_inds[:, :, None].astype(jnp.int32), axis=1
+        from_ocr = jnp.take_along_axis(
+            ocr_emb,
+            jnp.where(is_vocab, 0, prev - ans_num)[:, :, None],
+            axis=1,
         )
+        raw_dec_emb = jnp.where(is_vocab[:, :, None], from_vocab, from_ocr)
 
         position_embeddings = self.param(
             "position_embeddings",
@@ -193,7 +202,7 @@ class MMT(nn.Module):
                 continue
             allowed = build_spatial_allowed(
                 spatial_classes,
-                jnp.asarray(relation_head_lut(key)),
+                relation_head_lut(key),  # host constant, folded at trace
                 question_len=cfg.max_seq_length,
                 decode_len=dec_len,
                 mask_quadrants=cfg.attention_mask_quadrants,

@@ -29,6 +29,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from .layers import Dense, MASK_BIAS, masked_softmax_attention
@@ -59,31 +60,58 @@ def build_spatial_allowed(
     b, n, _ = classes.shape
     length = question_len + n + decode_len
     hs = num_spatial_heads
+    h_total = hs + num_implicit_heads
 
-    allowed = jnp.ones((b, hs, length, length), dtype=bool)
-    # obj+ocr block: relation LUT gather -> (B, N, N, hs) -> (B, hs, N, N)
-    block = jnp.take(lut.astype(bool), classes.astype(jnp.int32), axis=0)
-    block = jnp.transpose(block, (0, 3, 1, 2))
-    q0, q1 = question_len, question_len + n
-    allowed = allowed.at[:, :, q0:q1, q0:q1].set(block)
+    # TPU-friendly construction: no gathers, no dynamic-update-slices (both
+    # profiled slow — ~5 ms/step at batch 64). The LUT collapses to one
+    # int32 bitmask per relation class; positions outside the obj+ocr block
+    # get a sentinel class whose bitmask allows every head. Everything below
+    # is fused elementwise work over (B, L, L).
+    # ``lut`` must be a HOST array (np.ndarray) — it is folded into python
+    # ints at trace time.
+    if not isinstance(lut, np.ndarray):
+        lut = np.asarray(lut)  # raises on traced inputs, by design
+    lut = lut.astype(bool)
+    implicit_bits = ((1 << h_total) - 1) ^ ((1 << hs) - 1)
+    class_bits = [
+        int(sum((1 << h) for h in range(hs) if lut[c, h])) | implicit_bits
+        for c in range(13)
+    ]
+    sentinel_bits = (1 << h_total) - 1  # outside the ctx block: all heads
 
-    # quadrant masking (reference sa_m4c.py:504-549); quadrants 3/6 (x -> dec
-    # columns) are never masked there either.
-    spans = {  # quadrant id -> (row span, col span)
-        1: ((0, q0), (0, q0)),
-        2: ((0, q0), (q0, q1)),
-        4: ((q0, q1), (0, q0)),
-        7: ((q1, length), (0, q0)),
-        8: ((q1, length), (q0, q1)),
-        9: ((q1, length), (q1, length)),
-    }
-    for quadrant in mask_quadrants:
-        (r0, r1), (c0, c1) = spans[quadrant]
-        allowed = allowed.at[:, :, r0:r1, c0:c1].set(False)
+    frame = jnp.pad(
+        classes.astype(jnp.int32),
+        ((0, 0), (question_len, decode_len), (question_len, decode_len)),
+        constant_values=13,
+    )
+    bits = jnp.full(frame.shape, class_bits[0], dtype=jnp.int32)
+    for c in range(1, 13):
+        bits = jnp.where(frame == c, class_bits[c], bits)
+    bits = jnp.where(frame == 13, sentinel_bits, bits)
 
-    if num_implicit_heads:
-        implicit = jnp.ones((b, num_implicit_heads, length, length), dtype=bool)
-        allowed = jnp.concatenate([allowed, implicit], axis=1)
+    heads = jnp.arange(h_total, dtype=jnp.int32)[None, :, None, None]
+    allowed = ((bits[:, None, :, :] >> heads) & 1) > 0  # (B, H, L, L)
+
+    # quadrant masking for the spatial heads only (reference
+    # sa_m4c.py:504-549); quadrants 3/6 (x -> dec columns) are never masked
+    # there either.
+    if mask_quadrants:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (length, length), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (length, length), 1)
+        q0, q1 = question_len, question_len + n
+        spans = {  # quadrant id -> (row predicate, col predicate)
+            1: (rows < q0) & (cols < q0),
+            2: (rows < q0) & (cols >= q0) & (cols < q1),
+            4: (rows >= q0) & (rows < q1) & (cols < q0),
+            7: (rows >= q1) & (cols < q0),
+            8: (rows >= q1) & (cols >= q0) & (cols < q1),
+            9: (rows >= q1) & (cols >= q1),
+        }
+        masked = jnp.zeros((length, length), dtype=bool)
+        for quadrant in mask_quadrants:
+            masked = masked | spans[quadrant]
+        spatial_head = (heads < hs)[0, :, 0, 0][None, :, None, None]
+        allowed = allowed & ~(masked[None, None] & spatial_head)
     return allowed
 
 

@@ -94,23 +94,14 @@ class MMTCache(NamedTuple):
 
 
 def _enc_spatial_bias(classes, lut, col_bias, q_len, n_ctx, quadrants, h):
-    """(B, H, Le, Le) additive bias for encoder rows under a spatial layer."""
-    b = classes.shape[0]
-    le = q_len + n_ctx
-    allowed = jnp.ones((b, h, le, le), dtype=bool)
-    block = jnp.take(jnp.asarray(lut, jnp.float32) > 0, classes.astype(jnp.int32), axis=0)
-    allowed = allowed.at[:, :, q_len:le, q_len:le].set(
-        jnp.transpose(block, (0, 3, 1, 2))
+    """(B, H, Le, Le) additive bias for encoder rows under a spatial layer
+    (gather-free bitmask construction, see models/spatial.py)."""
+    from .spatial import build_spatial_allowed
+
+    allowed = build_spatial_allowed(
+        classes, lut, question_len=q_len, decode_len=0,
+        mask_quadrants=tuple(quadrants), num_spatial_heads=h,
     )
-    spans = {
-        1: ((0, q_len), (0, q_len)),
-        2: ((0, q_len), (q_len, le)),
-        4: ((q_len, le), (0, q_len)),
-    }
-    for quad in quadrants:
-        if quad in spans:
-            (r0, r1), (c0, c1) = spans[quad]
-            allowed = allowed.at[:, :, r0:r1, c0:c1].set(False)
     bias = jnp.where(allowed, 0.0, MASK_BIAS)
     return jnp.minimum(bias, col_bias)  # combine with padding mask
 

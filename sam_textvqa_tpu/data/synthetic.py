@@ -146,19 +146,37 @@ class SyntheticDataset:
         num_answers_vocab: int = 5000,
         with_answers: bool = True,
     ):
+        from .processors import M4CAnswerProcessor
+        from .vocab import VocabDict
+
         self.cfg = task_cfg
         self.num_answers_vocab = num_answers_vocab
         self.pool = make_batch(
             task_cfg, size, seed=seed, num_answers_vocab=num_answers_vocab
         )
         self.with_answers = with_answers
-        # synthetic gt answers: decode the target ids back to OCR words so
-        # the accuracy metric is exercised meaningfully
+        # synthetic gt answers are OCR-token phrases, and the decoding
+        # targets are built from them with the REAL answer processor, so a
+        # training run on this fixture genuinely teaches pointer copying
+        # and decode accuracy is meaningful
+        words = ["<pad>", "<s>", "</s>", "<unk>"] + [
+            f"w{i}" for i in range(num_answers_vocab - 4)
+        ]
+        self._processor = M4CAnswerProcessor(
+            VocabDict(words),
+            max_copy_steps=task_cfg.mmt.num_decoding_steps,
+            max_ocr_tokens=task_cfg.mmt.max_ocr_num,
+        )
         self._answers = []
+        self._matches = []
         for i in range(size):
             toks = [w for w in self.pool["_ocr_tokens"][i] if w != "<pad>"]
             ans = " ".join(toks[:2]) if toks else "nothing"
-            self._answers.append([ans] * 10)
+            answers = [ans] * 10
+            self._answers.append(answers)
+            self._matches.append(
+                self._processor.match(answers, self.pool["_ocr_tokens"][i])
+            )
 
     def __len__(self) -> int:
         return int(self.pool["question_indices"].shape[0])
@@ -176,4 +194,13 @@ class SyntheticDataset:
             if self.with_answers
             else [[] for _ in idx]
         )
+        if rng is not None and self.with_answers:
+            # coherent supervision: targets sampled from the answer matches
+            for row, i in enumerate(idx):
+                sampled = self._processor.sample_decoding_targets(
+                    self._matches[i], rng
+                )
+                out["train_prev_inds"][row] = sampled["train_prev_inds"]
+                out["train_loss_mask"][row] = sampled["train_loss_mask"]
+                out["targets"][row] = sampled["targets"]
         return out

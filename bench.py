@@ -25,14 +25,30 @@ WARMUP = 3
 # BENCH_MODE=eval benchmarks greedy 12-step decoding (fast cached-encoder
 # path) instead of training
 MODE = os.environ.get("BENCH_MODE", "train")
+# threefry by default: rbg (hardware PRNG) dropout faults the TPU worker
+# after ~15 sustained steps on the current libtpu (bisected in round 1's
+# verdict). BENCH_PRNG=rbg restores the old behavior for A/B runs.
+PRNG = os.environ.get("BENCH_PRNG", "threefry")
+V5E_BF16_PEAK_FLOPS = 197e12  # per chip (TPU v5e spec)
+
+
+def _flops_per_step(compiled) -> float | None:
+    """Optimized-HLO FLOP count from XLA's cost analysis, if available."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
 
 
 def main():
     import jax
 
-    # hardware RNG for dropout masks: threefry costs ~20% of the step on the
-    # (B,12,182,182) attention-dropout tensors (measured; see SCALING.md)
-    jax.config.update("jax_default_prng_impl", "rbg")
+    if PRNG == "rbg":
+        jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     from sam_textvqa_tpu.config import load_task_config
@@ -81,6 +97,9 @@ def main():
         carry = jnp.zeros(
             (BATCH, cfg.mmt.num_decoding_steps), jnp.int32
         )
+        step_flops = _flops_per_step(
+            chained.lower(params, batch, carry).compile()
+        )
         for _ in range(WARMUP):
             carry = chained(params, batch, carry)
         int(jnp.sum(carry))
@@ -89,22 +108,26 @@ def main():
             carry = chained(params, batch, carry)
         int(jnp.sum(carry))
         dt = time.time() - t0
-        print(
-            json.dumps(
-                {
-                    "metric": "textvqa_greedy_eval_samples_per_sec_per_chip",
-                    "value": round(BATCH * STEPS / dt, 1),
-                    "unit": "samples/s/chip",
-                    "vs_baseline": None,
-                }
-            )
-        )
+        out = {
+            "metric": "textvqa_greedy_eval_samples_per_sec_per_chip",
+            "value": round(BATCH * STEPS / dt, 1),
+            "unit": "samples/s/chip",
+            "vs_baseline": None,
+        }
+        if step_flops is not None:
+            achieved = step_flops * STEPS / dt
+            out["mfu"] = round(achieved / V5E_BF16_PEAK_FLOPS, 4)
+            out["tflops_per_sec"] = round(achieved / 1e12, 1)
+        print(json.dumps(out))
         return
 
     optimizer = make_optimizer(params, cfg)
     state = create_train_state(params, optimizer)
     train_step = jax.jit(make_train_step(model, optimizer), donate_argnums=0)
     rng = jax.random.PRNGKey(0)
+
+    compiled = train_step.lower(state, batch, rng).compile()
+    step_flops = _flops_per_step(compiled)
 
     for _ in range(WARMUP):
         state, metrics = train_step(state, batch, rng)
@@ -120,16 +143,18 @@ def main():
     dt = time.time() - t0
 
     samples_per_sec = BATCH * STEPS / dt
-    print(
-        json.dumps(
-            {
-                "metric": "textvqa_train_samples_per_sec_per_chip",
-                "value": round(samples_per_sec, 1),
-                "unit": "samples/s/chip",
-                "vs_baseline": round(samples_per_sec / REFERENCE_SAMPLES_PER_SEC, 2),
-            }
-        )
-    )
+    out = {
+        "metric": "textvqa_train_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(samples_per_sec / REFERENCE_SAMPLES_PER_SEC, 2),
+    }
+    if step_flops is not None:
+        achieved = step_flops * STEPS / dt
+        out["mfu"] = round(achieved / V5E_BF16_PEAK_FLOPS, 4)
+        out["tflops_per_sec"] = round(achieved / 1e12, 1)
+        out["flops_per_sample"] = round(step_flops / BATCH)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

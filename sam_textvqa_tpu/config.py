@@ -57,6 +57,11 @@ class TextBertConfig:
     layer_norm_eps: float = 1e-12
     lr_scale_text_bert: float = 0.1
     text_bert_init_from_bert_base: bool = True
+    # local bert-base-uncased weights (torch .bin / .safetensors / .npz or an
+    # HF model dir) used when text_bert_init_from_bert_base is true; the
+    # reference downloads them via from_pretrained (sa_m4c.py:75-82) but this
+    # container has zero egress, so the path is explicit
+    bert_base_weights: str = ""
 
 
 @dataclass(frozen=True)
@@ -177,6 +182,11 @@ class TaskConfig:
     stvqa_ocr: str = ""
     stvqa_imdb: str = ""
     stvqa_spatial_cache: str = ""
+    # 300-d OCR word vectors: real fastText .bin (reference hard-codes
+    # wiki.en.bin, sam/datasets/processors.py:191-200) or a precomputed
+    # {word: vec} npz table; empty -> deterministic hash fallback (warned)
+    fasttext_bin: str = ""
+    fasttext_table: str = ""
     vocabs: Dict[str, str] = field(default_factory=dict)
     evaluation: Dict[str, str] = field(default_factory=dict)
     mmt: MMTConfig = field(default_factory=MMTConfig)

@@ -87,6 +87,10 @@ class PackedEntries:
     ocr_fasttext: np.ndarray       # (N, OCR, 300) f16
     spatial_classes: np.ndarray    # (N, 150, 150) int8
     question_id: np.ndarray        # (N,) int64 (or arange for stvqa strings)
+    question_id_raw: List          # original ids (int for textvqa, str for
+                                   # stvqa) — kept host-side so EvalAI dumps
+                                   # and GT joins use the real identity
+                                   # (reference evaluator.py:304-356)
     image_ids: List[str]
     ocr_tokens: List[List[str]]    # padded to OCR with "<pad>"
     answers: List[List[str]]       # raw answers (for eval); may be empty
@@ -167,6 +171,7 @@ class SAMDataset:
             "spatial_classes": p.spatial_classes[indices],
             "train_prev_inds": np.zeros((bsz, t), np.int32),
             "question_id": p.question_id[indices],
+            "_question_id_raw": [p.question_id_raw[i] for i in indices],
             "_ocr_tokens": [p.ocr_tokens[i] for i in indices],
             "_answers": [p.answers[i] for i in indices],
         }
@@ -174,6 +179,7 @@ class SAMDataset:
             # training supervision (skipped for decode-only eval batches —
             # targets alone is (B, T, vocab+OCR) ~ 23 MB per batch of 96)
             batch["train_loss_mask"] = np.zeros((bsz, t), np.float32)
+            batch["train_acc_mask"] = np.zeros((bsz, t), np.float32)
             batch["targets"] = np.zeros((bsz, t, vocab_total), np.float32)
         for row, i in enumerate(indices):
             image_id = p.image_ids[i]
@@ -190,6 +196,7 @@ class SAMDataset:
                 sampled = self.answer_processor.sample_decoding_targets(match, rng)
                 batch["train_prev_inds"][row] = sampled["train_prev_inds"]
                 batch["train_loss_mask"][row] = sampled["train_loss_mask"]
+                batch["train_acc_mask"][row] = sampled["train_acc_mask"]
                 batch["targets"][row] = sampled["targets"]
         return batch
 
@@ -213,7 +220,12 @@ def preprocess_split(
     if cache_path and os.path.exists(cache_path) and not task_cfg.debug:
         logger.info("loading preprocessed cache %s", cache_path)
         with open(cache_path, "rb") as f:
-            return pickle.load(f)
+            cached = pickle.load(f)
+        if getattr(cached, "question_id_raw", None) is not None:
+            return cached
+        logger.warning(
+            "cache %s predates question_id_raw; re-preprocessing", cache_path
+        )
 
     q_proc = BertQuestionProcessor(tokenizer, task_cfg.mmt.max_seq_length)
     n = len(entries)
@@ -227,6 +239,7 @@ def preprocess_split(
         ocr_fasttext=np.zeros((n, n_ocr, fasttext.dim), np.float16),
         spatial_classes=np.zeros((n, n_joint, n_joint), np.int8),
         question_id=np.zeros(n, np.int64),
+        question_id_raw=[],
         image_ids=[],
         ocr_tokens=[],
         answers=[],
@@ -239,7 +252,12 @@ def preprocess_split(
         packed.question_indices[i] = q["question_indices"]
         packed.question_mask[i] = q["question_mask"]
         qid = entry["question_id"]
+        # device arrays need ints; string qids (ST-VQA) keep their real
+        # identity in question_id_raw and use the position as the int key
         packed.question_id[i] = int(qid) if not isinstance(qid, str) else i
+        packed.question_id_raw.append(
+            int(qid) if not isinstance(qid, str) else str(qid)
+        )
         packed.image_ids.append(str(entry["image_id"]))
 
         cleaned = [

@@ -10,6 +10,7 @@ which the input pipeline calls per batch with an explicit RNG.
 
 from __future__ import annotations
 
+import zlib
 from collections import defaultdict
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -69,8 +70,14 @@ class SimpleWordpieceTokenizer:
         if text == self.pad_token:
             return [self.pad_id]
         words = text.lower().split()
-        # buckets avoid ids 0-999 (special/unused range in bert vocab)
-        ids = [1000 + (hash(w) % (self.vocab_size - 1000)) for w in words]
+        # crc32, NOT hash(): Python hash() is PYTHONHASHSEED-randomized per
+        # process, which would make preprocessing caches written by one run
+        # disagree with tokenization in the next. buckets avoid ids 0-999
+        # (special/unused range in bert vocab)
+        ids = [
+            1000 + (zlib.crc32(w.encode("utf-8")) % (self.vocab_size - 1000))
+            for w in words
+        ]
         if add_special_tokens:
             ids = [self.cls_id] + ids + [self.sep_id]
         return ids
@@ -102,16 +109,31 @@ class FastTextProcessor:
         self,
         model_path: Optional[str] = None,
         table: Optional[Dict[str, np.ndarray]] = None,
+        table_path: Optional[str] = None,
         dim: int = 300,
     ):
         self.dim = dim
         self.model = None
         self.table = table
+        if table_path:
+            # precomputed {word: vec} table as an npz with parallel arrays
+            # "words" (N,) and "vectors" (N, dim) — the offline analogue of
+            # the reference's wiki.en.bin lookups (processors.py:191-226)
+            with np.load(table_path, allow_pickle=False) as z:
+                words = [str(w) for w in z["words"]]
+                vectors = np.asarray(z["vectors"], dtype=np.float32)
+            assert len(words) == len(vectors), (len(words), vectors.shape)
+            self.table = dict(zip(words, vectors))
+            self.dim = int(vectors.shape[1])
         if model_path:
             from fasttext import load_model  # native lib; optional
 
             self.model = load_model(model_path)
             self.dim = self.model.get_dimension()
+
+    @property
+    def is_fallback(self) -> bool:
+        return self.model is None and self.table is None
 
     def _vector(self, word: str) -> np.ndarray:
         if self.model is not None:
@@ -124,10 +146,11 @@ class FastTextProcessor:
                 for w in word.split(" ")
             ]
             return np.mean(vecs, axis=0)
-        # hash fallback: unit-normal-ish deterministic vector per word
+        # hash fallback: unit-normal-ish deterministic vector per word.
+        # crc32, NOT hash(): hash() is PYTHONHASHSEED-randomized per process.
         vecs = []
         for w in word.split(" "):
-            rng = np.random.RandomState(abs(hash(w)) % (2**31))
+            rng = np.random.RandomState(zlib.crc32(w.encode("utf-8")) % (2**31))
             vecs.append(rng.randn(self.dim).astype(np.float32) * 0.1)
         return np.mean(vecs, axis=0)
 

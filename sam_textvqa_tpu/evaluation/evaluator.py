@@ -29,6 +29,18 @@ from .metrics import (
 
 logger = logging.getLogger(__name__)
 
+
+def _batch_qids(batch, host_only):
+    """Per-row question identities, preferring the raw host-side ids
+    (int for TextVQA, str for ST-VQA — reference evaluator.py:304-356 keeps
+    real qids through eval; the device array only carries int surrogates)."""
+    raw = host_only.get("_question_id_raw")
+    if raw is not None:
+        return [int(q) if isinstance(q, (int, np.integer)) else str(q)
+                for q in raw]
+    return [int(q) for q in np.asarray(batch["question_id"])]
+
+
 METRIC_EVALUATORS = {
     "textvqa": TextVQAAccuracyEvaluator,
     "stvqa": STVQAAccuracyEvaluator,
@@ -118,7 +130,7 @@ class Evaluator:
         scored_preds: List[Dict] = []
         for batch in batches:
             host_only = {k: v for k, v in batch.items() if k.startswith("_")}
-            qids = np.asarray(batch["question_id"])
+            qids = _batch_qids(batch, host_only)
             device_batch = {
                 k: jnp.asarray(batch[k]) for k in DECODE_KEYS if k in batch
             }
@@ -135,13 +147,13 @@ class Evaluator:
             real = host_only.get("_real_count", pred_ids.shape[0])
             for i in range(real):
                 entry = {
-                    "question_id": int(qids[i]),
+                    "question_id": qids[i],
                     "pred_answer": decoded[i]["pred_answer"],
                     "belongs_to": decoded[i]["belongs_to"],
                 }
                 gt = host_only["_answers"][i]
                 if not gt and gt_answers_by_qid:
-                    gt = gt_answers_by_qid.get(int(qids[i]), [])
+                    gt = gt_answers_by_qid.get(qids[i], [])
                 if gt:
                     scored_preds.append({**entry, "gt_answers": list(gt)})
                 all_preds.append(entry)
@@ -196,7 +208,7 @@ class Evaluator:
         scored_preds: List[Dict] = []
         for batch in batches:
             host_only = {k: v for k, v in batch.items() if k.startswith("_")}
-            qids = np.asarray(batch["question_id"])
+            qids = _batch_qids(batch, host_only)
             device_batch = {
                 k: jnp.asarray(batch[k]) for k in DECODE_KEYS if k in batch
             }
@@ -214,13 +226,13 @@ class Evaluator:
                     eos,
                 )[0]
                 entry = {
-                    "question_id": int(qids[i]),
+                    "question_id": qids[i],
                     "pred_answer": decoded["pred_answer"],
                     "topkscore": float(scores[i, best[i]]),
                 }
                 gt = host_only["_answers"][i]
                 if not gt and gt_answers_by_qid:
-                    gt = gt_answers_by_qid.get(int(qids[i]), [])
+                    gt = gt_answers_by_qid.get(qids[i], [])
                 if gt:
                     scored_preds.append({**entry, "gt_answers": list(gt)})
                 all_preds.append(entry)

@@ -41,8 +41,16 @@ def _device_view(batch: Dict) -> Dict:
 
 
 def _batch_accuracy(pred_ids, batch, answer_vocab, eos_idx, metric_evaluator):
-    """Teacher-forced train accuracy on the host (reference computes the VQA
-    soft metric every step on decoded argmaxes, task_utils.py:130-133)."""
+    """Teacher-forced train accuracy on the host.
+
+    Matches the reference exactly: task_utils.py:130-133 calls
+    ``TextVQAAccuracy.calculate`` (sam/datasets/metrics.py:21-68), which
+    decodes the per-step argmaxes of the teacher-forced scores, stops at
+    EOS, and computes the VQA soft metric against the 10 raw answers. Note
+    the reference does NOT consume ``train_acc_mask`` here — processors.py
+    produces it (:682-692) but no caller reads it; the EOS stop in decoding
+    plays the same role. We ship ``train_acc_mask`` in the batch for
+    content parity but likewise score the EOS-stopped decode."""
     from ..evaluation.metrics import decode_predictions
 
     real = batch.get("_real_count", pred_ids.shape[0])

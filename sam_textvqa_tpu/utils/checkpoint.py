@@ -174,15 +174,39 @@ def reference_name_map(mmt_layer_types, text_bert_layers: int = 3):
     m[("ocr_ptr_net", "key", "bias")] = "ocr_ptr_net.key.bias"
     m[("classifier_weight",)] = "classifier.weight"
     m[("classifier_bias",)] = "classifier.bias"
+
+    # optional learned spatial head bias — torch Embedding(1, hidden)
+    # (reference sa_m4c.py:439-443; applied at :600-603). Entries for params
+    # absent from the template (use_bias: false) are simply never consulted.
+    n_spatial = sum(1 for lt in mmt_layer_types if lt == "s")
+    for s in range(n_spatial):
+        m[("mmt", f"spatial_layer_{s}", "attention_self", "biases")] = (
+            f"mmt.encoder.spatial_layers.{s}.attention.self.biases.weight"
+        )
+
+    # optional aux spatial-relation head (reference sa_m4c.py:173-177;
+    # SimpleClassifier = Sequential(Linear, GeLU, LayerNorm, Linear) at
+    # :1031-1042, so torch indices 0/2/3 map to our dense0/ln/dense1)
+    for head in ("origin_transform", "dest_transform"):
+        for ours, theirs in (("dense0", "0"), ("ln", "2"), ("dense1", "3")):
+            m[(head, ours, "weight")] = f"{head}.logit_fc.{theirs}.weight"
+            m[(head, ours, "bias")] = f"{head}.logit_fc.{theirs}.bias"
+    m[("spatial_classifier", "weight")] = "spatial_classifier.weight"
+    m[("spatial_classifier", "bias")] = "spatial_classifier.bias"
     return m
 
 
-def convert_torch_state_dict(state_dict: Dict[str, Any], params_template):
+def convert_torch_state_dict(
+    state_dict: Dict[str, Any], params_template, strict: bool = False
+):
     """Map a reference ``best_model.tar`` state_dict onto our param pytree.
 
     Torch Linear weights are (out, in) and our Dense stores the same layout,
     so the conversion is a pure rename. The reference's spatial attention
     maps 1:1 because its extra pieces (masks) are buffers, not params.
+
+    With ``strict`` the conversion raises if any template leaf has no source
+    in the state_dict (instead of silently keeping its random init).
     """
     from ..models.sa_m4c import SAM4C  # noqa: F401  (doc anchor)
 
@@ -226,5 +250,112 @@ def convert_torch_state_dict(state_dict: Dict[str, Any], params_template):
         arr = np.asarray(sd[src], dtype=np.float32)
         assert arr.shape == leaf.shape, (keys, src, arr.shape, leaf.shape)
         out_flat.append(arr)
+    if strict and missing:
+        used = {name_map.get(tuple(p.key for p in path if hasattr(p, "key")))
+                for path, _ in flat_template[0]}
+        unconsumed = sorted(k for k in sd if k not in used)
+        raise ValueError(
+            f"strict conversion: {len(missing)} template leaves have no "
+            f"source: {missing[:10]}...; unconsumed state_dict keys "
+            f"(first 10): {unconsumed[:10]}"
+        )
     converted = jax.tree_util.tree_unflatten(flat_template[1], out_flat)
     return converted, missing
+
+
+# ---------------------------------------------------------------------------
+# TextBERT initialization from bert-base-uncased
+# ---------------------------------------------------------------------------
+
+def bert_base_name_map(text_bert_layers: int = 3):
+    """Our ``text_bert`` subtree paths -> HF/torch bert-base state_dict keys
+    (without the optional ``bert.`` prefix). The reference initializes its
+    3-layer question encoder with ``TextBert.from_pretrained(
+    "bert-base-uncased")`` (reference sam/sa_m4c.py:75-82); the first
+    ``text_bert_layers`` encoder layers plus the embeddings transfer."""
+    m: Dict[Tuple[str, ...], str] = {}
+    for name in ("word_embeddings", "position_embeddings", "token_type_embeddings"):
+        m[("text_bert", "embeddings", name)] = f"embeddings.{name}.weight"
+    m[("text_bert", "embeddings", "LayerNorm", "weight")] = "embeddings.LayerNorm.weight"
+    m[("text_bert", "embeddings", "LayerNorm", "bias")] = "embeddings.LayerNorm.bias"
+    for i in range(text_bert_layers):
+        m.update(
+            _bert_layer_map(("text_bert", f"layer_{i}"), f"encoder.layer.{i}")
+        )
+    return m
+
+
+def load_bert_base_state_dict(source: str) -> Dict[str, np.ndarray]:
+    """Load a bert-base-uncased state_dict from a local file or directory.
+
+    Accepts a torch ``.bin``/``.pt``/``.tar`` file, a ``.safetensors`` file,
+    an ``.npz``, or an HF model directory containing one of those. Strips
+    ``bert.``/``module.`` prefixes and HF's ``gamma``/``beta`` LayerNorm
+    aliases so the result matches :func:`bert_base_name_map`.
+    """
+    if os.path.isdir(source):
+        for cand in ("pytorch_model.bin", "model.safetensors", "model.npz"):
+            p = os.path.join(source, cand)
+            if os.path.exists(p):
+                source = p
+                break
+        else:
+            raise FileNotFoundError(f"no model weights found in {source}")
+    if source.endswith(".npz"):
+        with np.load(source) as z:
+            sd = {k: z[k] for k in z.files}
+    elif source.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        sd = load_file(source)
+    else:
+        import torch
+
+        raw = torch.load(source, map_location="cpu", weights_only=True)
+        if isinstance(raw, dict) and "state_dict" in raw:
+            raw = raw["state_dict"]
+        sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+              for k, v in raw.items()}
+    out = {}
+    for k, v in sd.items():
+        for prefix in ("module.", "bert."):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+        # pytorch_transformers-era checkpoints name LayerNorm params g/b
+        k = k.replace(".gamma", ".weight").replace(".beta", ".bias")
+        out[k] = np.asarray(v)
+    return out
+
+
+def init_text_bert_from_bert_base(params, source: str):
+    """Hydrate the ``text_bert`` subtree of ``params`` from a local
+    bert-base-uncased checkpoint (reference sam/sa_m4c.py:75-82).
+
+    Returns ``(new_params, n_loaded, missing)`` where ``missing`` lists
+    text_bert leaves that found no source key (should be empty for a real
+    bert-base checkpoint).
+    """
+    sd = load_bert_base_state_dict(source)
+    tb_layers = len(
+        {k for k in params["text_bert"] if k.startswith("layer_")}
+    )
+    name_map = bert_base_name_map(tb_layers)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out_flat, missing, n_loaded = [], [], 0
+    for path, leaf in flat:
+        keys = tuple(p.key for p in path if hasattr(p, "key"))
+        if keys[0] != "text_bert":
+            out_flat.append(leaf)
+            continue
+        src = name_map.get(keys)
+        if src is None or src not in sd:
+            missing.append((keys, src))
+            out_flat.append(leaf)
+            continue
+        arr = np.asarray(sd[src], dtype=np.float32)
+        if keys[-1] == "position_embeddings" and arr.shape[0] > leaf.shape[0]:
+            arr = arr[: leaf.shape[0]]  # truncate 512 -> max_seq positions
+        assert arr.shape == leaf.shape, (keys, src, arr.shape, leaf.shape)
+        out_flat.append(arr.astype(np.asarray(leaf).dtype))
+        n_loaded += 1
+    return jax.tree_util.tree_unflatten(treedef, out_flat), n_loaded, missing

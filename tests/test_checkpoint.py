@@ -23,11 +23,12 @@ from sam_textvqa_tpu.utils.checkpoint import (
 NUM_ANSWERS = 30
 
 
-def _setup():
+def _setup(**mmt_overrides):
     cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 2}})
     mmt = dataclasses.replace(
         cfg.mmt, hidden_size=48, intermediate_size=96, ptr_query_size=48,
         max_obj_num=8, max_ocr_num=6, num_decoding_steps=4, max_seq_length=6,
+        **mmt_overrides,
     )
     tb = dataclasses.replace(
         cfg.text_bert, hidden_size=48, intermediate_size=96, num_attention_heads=4
@@ -106,4 +107,102 @@ def test_convert_torch_state_dict():
         np.testing.assert_array_equal(np.asarray(leaf), expected[keys])
     # converted params run a forward pass
     out = model.apply({"params": converted}, batch, deterministic=True)
+    assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+def test_name_map_covers_bias_and_aux_params():
+    """use_bias spatial head biases (reference sa_m4c.py:439-443) and the
+    aux spatial head (reference :173-177) must all have converter entries."""
+    task, model, batch, params = _setup(use_bias=True, use_aux_heads=True)
+    name_map = reference_name_map(list(task.mmt.layer_type_list),
+                                  task.text_bert.num_hidden_layers)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    unmapped = []
+    for path, _ in flat:
+        keys = tuple(p.key for p in path if hasattr(p, "key"))
+        if keys not in name_map:
+            unmapped.append(keys)
+    assert not unmapped, unmapped
+    # and a full round trip with those params populated
+    rng = np.random.RandomState(1)
+    state_dict = {
+        name_map[tuple(p.key for p in path if hasattr(p, "key"))]:
+            rng.randn(*leaf.shape).astype(np.float32)
+        for path, leaf in flat
+    }
+    converted, missing = convert_torch_state_dict(
+        state_dict, params, strict=True
+    )
+    assert not missing
+    biases_src = "mmt.encoder.spatial_layers.0.attention.self.biases.weight"
+    np.testing.assert_array_equal(
+        np.asarray(converted["mmt"]["spatial_layer_0"]["attention_self"]["biases"]),
+        state_dict[biases_src],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(converted["origin_transform"]["dense0"]["weight"]),
+        state_dict["origin_transform.logit_fc.0.weight"],
+    )
+
+
+def test_convert_strict_raises_on_missing():
+    task, model, batch, params = _setup(use_bias=True)
+    # an empty state dict leaves every template leaf unsourced
+    with pytest.raises(ValueError, match="strict conversion"):
+        convert_torch_state_dict({}, params, strict=True)
+    # non-strict keeps the template values and reports them
+    converted, missing = convert_torch_state_dict({}, params, strict=False)
+    assert len(missing) == len(jax.tree.leaves(params))
+
+
+def test_init_text_bert_from_bert_base(tmp_path):
+    """A synthetic bert-base-layout torch checkpoint (with ``bert.`` prefix
+    and gamma/beta LayerNorm aliases) hydrates exactly the text_bert subtree
+    (reference TextBert.from_pretrained, sa_m4c.py:75-82)."""
+    import torch
+
+    from sam_textvqa_tpu.utils.checkpoint import (
+        bert_base_name_map,
+        init_text_bert_from_bert_base,
+    )
+
+    task, model, batch, params = _setup()
+    name_map = bert_base_name_map(task.text_bert.num_hidden_layers)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    rng = np.random.RandomState(2)
+    sd = {}
+    expected = {}
+    for path, leaf in flat:
+        keys = tuple(p.key for p in path if hasattr(p, "key"))
+        if keys[0] != "text_bert":
+            continue
+        src = name_map[keys]
+        arr = rng.randn(*leaf.shape).astype(np.float32)
+        # exercise prefix stripping + the pytorch_transformers-era gamma/beta
+        src = src.replace("LayerNorm.weight", "LayerNorm.gamma")
+        src = src.replace("LayerNorm.bias", "LayerNorm.beta")
+        sd["bert." + src] = torch.from_numpy(arr)
+        expected[keys] = arr
+    # extra bert-base keys our 2-layer text_bert doesn't use must be ignored
+    sd["bert.encoder.layer.11.intermediate.dense.weight"] = torch.zeros(2, 2)
+    sd["cls.predictions.bias"] = torch.zeros(4)
+    path = tmp_path / "bert_base.bin"
+    torch.save(sd, str(path))
+
+    new_params, n_loaded, missing = init_text_bert_from_bert_base(
+        params, str(path)
+    )
+    assert not missing, missing
+    assert n_loaded == len(expected)
+    for p, leaf in jax.tree_util.tree_flatten_with_path(new_params)[0]:
+        keys = tuple(k.key for k in p if hasattr(k, "key"))
+        if keys[0] == "text_bert":
+            np.testing.assert_array_equal(np.asarray(leaf), expected[keys])
+    # non-text_bert leaves untouched
+    np.testing.assert_array_equal(
+        np.asarray(new_params["classifier_weight"]),
+        np.asarray(params["classifier_weight"]),
+    )
+    # hydrated params still run
+    out = model.apply({"params": new_params}, batch, deterministic=True)
     assert np.isfinite(np.asarray(out["scores"])).all()

@@ -231,3 +231,107 @@ def test_normalize_boxes():
     out = normalize_boxes(boxes, 200, 100)
     np.testing.assert_allclose(out[0, :4], [0.05, 0.2, 0.55, 0.7])
     np.testing.assert_allclose(out[0, 4], (100 * 50) / (200 * 100))
+
+
+def test_stvqa_string_question_ids(tmp_path):
+    """ST-VQA imdbs carry string question_ids and derive feature keys from
+    image_path (reference stvqa_dataset.py:58); the real string ids must
+    survive preprocessing into question_id_raw / _question_id_raw."""
+    from sam_textvqa_tpu.data.processors import FastTextProcessor
+
+    entries = [{"metadata": True}]
+    for i in range(4):
+        entries.append(
+            {
+                "question": f"what does sign {i} say",
+                "question_id": f"q_{chr(ord('d') - i)}{i}",  # unsorted strings
+                "image_path": f"img{i % 4}.jpg",
+                "image_height": 100,
+                "image_width": 200,
+                "answers": ["stop"] * 10,
+                "google_ocr_tokens_filtered": ["STOP"],
+            }
+        )
+    np.save(tmp_path / "imdb_train.npy",
+            np.array(entries, dtype=object), allow_pickle=True)
+
+    task = task_config_from_dict(
+        {
+            "SA-M4C": {"max_obj_num": 10, "max_ocr_num": 5,
+                       "num_decoding_steps": 6, "max_seq_length": 8},
+            "TextBERT": {},
+            "max_obj_num": 10, "max_ocr_num": 5, "max_seq_length": 8,
+            "stvqa_imdb": str(tmp_path / "imdb_{}.npy"),
+            "mix_list": ["none", "none", "share3", "share3", "share3", "share3"],
+        }
+    )
+    # stvqa feature keys are image_path with .npy extension
+    raw_obj, raw_ocr = _fake_sources()
+    obj_src = DictFeatureSource(
+        {f"{k}.npy": v for k, v in raw_obj.table.items()})
+    ocr_src = DictFeatureSource(
+        {f"{k}.npy": v for k, v in raw_ocr.table.items()})
+    ds = build_dataset(
+        task, "stvqa", "train", SimpleWordpieceTokenizer(),
+        FastTextProcessor(), _vocab(), obj_src, ocr_src,
+    )
+    expected = sorted(e["question_id"] for e in entries[1:])
+    assert ds.packed.question_id_raw == expected
+    batch = ds.get_batch([0, 2], np.random.RandomState(0))
+    assert batch["_question_id_raw"] == [expected[0], expected[2]]
+    # int surrogates remain positional for device arrays
+    assert batch["question_id"].tolist() == [0, 2]
+
+
+def test_fasttext_npz_table(tmp_path):
+    """Precomputed {word: vec} npz table is a config-driven replacement for
+    wiki.en.bin (reference processors.py:191-226)."""
+    from sam_textvqa_tpu.data.processors import FastTextProcessor
+
+    rng = np.random.RandomState(0)
+    words = np.array(["stop", "sign", "exit"])
+    vectors = rng.randn(3, 16).astype(np.float32)
+    path = tmp_path / "ft.npz"
+    np.savez(path, words=words, vectors=vectors)
+
+    proc = FastTextProcessor(table_path=str(path))
+    assert not proc.is_fallback
+    assert proc.dim == 16
+    out = proc(["stop", "exit", "unknown"], max_length=4)
+    np.testing.assert_array_equal(out[0], vectors[0])
+    np.testing.assert_array_equal(out[1], vectors[2])
+    np.testing.assert_array_equal(out[2], np.zeros(16))  # OOV -> zeros
+    np.testing.assert_array_equal(out[3], np.zeros(16))  # padding
+    # multi-word token averages its parts (reference :212-215)
+    np.testing.assert_allclose(
+        proc._vector("stop sign"), (vectors[0] + vectors[1]) / 2, rtol=1e-6
+    )
+
+
+def test_hash_fallbacks_cross_process_deterministic():
+    """The tokenizer/fastText fallbacks must not depend on PYTHONHASHSEED —
+    otherwise preprocessing caches written by one process disagree with
+    tokenization in the next."""
+    import subprocess
+    import sys
+
+    code = (
+        "from sam_textvqa_tpu.data.processors import "
+        "SimpleWordpieceTokenizer, FastTextProcessor\n"
+        "import numpy as np\n"
+        "ids = SimpleWordpieceTokenizer().encode('what does the sign say')\n"
+        "vec = FastTextProcessor()._vector('stop')\n"
+        "print(ids, repr(float(np.sum(vec))))\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    outs = []
+    for seed in ("0", "31337"):
+        env = dict(os.environ, PYTHONHASHSEED=seed)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            env=env, cwd=repo,
+        )
+        assert r.returncode == 0, r.stderr
+        outs.append(r.stdout)
+    assert outs[0] == outs[1]

@@ -77,3 +77,31 @@ def test_run_split_beam_reports_vqa_and_anls(setup):
     assert r["num_scored"] == 12
     assert r["accuracy"] is not None and r["anls"] is not None
     assert all("topkscore" in p for p in r["predictions"])
+
+
+def test_run_split_string_qids(setup, tmp_path):
+    """ST-VQA carries string question_ids; the evaluator must keep the real
+    identity through GT joins and EvalAI dumps (reference evaluator.py:304-356)
+    instead of the positional int surrogates the device arrays use."""
+    task, model, vocab, ds, params = setup
+    ds_no_ans = SyntheticDataset(task, 8, num_answers_vocab=len(vocab),
+                                 with_answers=False)
+
+    def batches():
+        for b in EpochBatcher(ds_no_ans, 4, shuffle=False).epoch_batches():
+            b["_question_id_raw"] = [
+                f"stvqa_{int(q)}" for q in np.asarray(b["question_id"])
+            ]
+            yield b
+
+    qid_strs = [
+        f"stvqa_{int(q)}" for q in np.asarray(ds_no_ans.get_batch(range(8))["question_id"])
+    ]
+    gt = {q: ["w0"] * 10 for q in qid_strs}
+    ev = Evaluator(model, vocab)
+    result = ev.run_split(params, batches(), gt_answers_by_qid=gt)
+    assert result["num_scored"] == 8
+    assert sorted(p["question_id"] for p in result["predictions"]) == sorted(qid_strs)
+    out = ev.dump_evalai(result, str(tmp_path / "evalai_stvqa.json"))
+    payload = json.loads(open(out).read())
+    assert sorted(p["question_id"] for p in payload) == sorted(qid_strs)

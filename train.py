@@ -52,8 +52,10 @@ def get_args():
     parser.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     parser.add_argument("--beam_size", type=int, default=1)
     parser.add_argument(
-        "--prng", choices=["rbg", "threefry"], default="rbg",
-        help="rbg (hardware RNG, ~20%% faster dropout) or threefry",
+        "--prng", choices=["rbg", "threefry"], default="threefry",
+        help="threefry (default; stable) or rbg (hardware RNG, ~20%% faster "
+        "dropout but faults the TPU worker under sustained load on the "
+        "current libtpu)",
     )
     parser.add_argument(
         "--multihost", action="store_true",
@@ -78,13 +80,18 @@ def load_eval_gt(task_cfg, split):
         return None
     import pickle
 
+    def key(q):
+        # ST-VQA question_ids are strings; TextVQA's are ints — preserve
+        # the native identity so GT joins match the evaluator's qids
+        return str(q) if isinstance(q, str) else int(q)
+
     with open(path, "rb") as f:
         obj = pickle.load(f)
     if isinstance(obj, dict):
-        return {int(k): list(v) for k, v in obj.items()}
+        return {key(k): list(v) for k, v in obj.items()}
     # pandas DataFrame (the reference's format)
     return {
-        int(q): list(a)
+        key(q): list(a)
         for q, a in zip(obj["question_id"], obj["answers"])
     }
 
@@ -145,7 +152,17 @@ def build_datasets(task_cfg, args, vocab):
         from sam_textvqa_tpu.data.features import open_feature_source
 
         tokenizer = load_bert_tokenizer()
-        fasttext = FastTextProcessor()
+        fasttext = FastTextProcessor(
+            model_path=task_cfg.fasttext_bin or None,
+            table_path=task_cfg.fasttext_table or None,
+        )
+        if fasttext.is_fallback:
+            logger.warning(
+                "No fastText source configured (fasttext_bin/fasttext_table "
+                "in the YAML) — OCR word vectors fall back to deterministic "
+                "hash noise. Real-data accuracy WILL be degraded; the "
+                "reference uses wiki.en.bin (processors.py:191-200)."
+            )
         splits = {}
         for split in ("train", "val", "test"):
             parts = []
@@ -245,6 +262,40 @@ def main():
     )()
     n_params = sum(p.size for p in jax.tree.leaves(params))
     logger.info("training parameters: %d", n_params)
+
+    # reference initializes the question encoder from bert-base-uncased
+    # (reference sa_m4c.py:75-82); only relevant when training from scratch
+    if (
+        task_cfg.text_bert.text_bert_init_from_bert_base
+        and not args.pretrained_eval
+        and not args.resume
+    ):
+        src = task_cfg.text_bert.bert_base_weights
+        if src and os.path.exists(src):
+            from sam_textvqa_tpu.utils.checkpoint import (
+                init_text_bert_from_bert_base,
+            )
+
+            params, n_loaded, missing = init_text_bert_from_bert_base(
+                params, src
+            )
+            logger.info(
+                "text_bert initialized from %s (%d tensors loaded)",
+                src, n_loaded,
+            )
+            if missing:
+                logger.warning(
+                    "text_bert leaves without a bert-base source: %s",
+                    [m[0] for m in missing],
+                )
+        else:
+            logger.warning(
+                "text_bert_init_from_bert_base is true but no local weights "
+                "found (TextBERT.bert_base_weights=%r) — the question "
+                "encoder starts RANDOM. The reference starts from "
+                "bert-base-uncased; accuracy parity requires those weights.",
+                src,
+            )
 
     evaluator = Evaluator(model, vocab, metric=task_cfg.metric)
 

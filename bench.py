@@ -29,6 +29,9 @@ MODE = os.environ.get("BENCH_MODE", "train")
 # after ~15 sustained steps on the current libtpu (bisected in round 1's
 # verdict). BENCH_PRNG=rbg restores the old behavior for A/B runs.
 PRNG = os.environ.get("BENCH_PRNG", "threefry")
+# BENCH_ATTN=pallas A/Bs the fused spatial-attention kernel
+# (ops/fused_attention.py) against the default XLA path
+ATTN = os.environ.get("BENCH_ATTN", "xla")
 V5E_BF16_PEAK_FLOPS = 197e12  # per chip (TPU v5e spec)
 
 
@@ -65,6 +68,7 @@ def main():
     model = SAM4C(
         params_cfg=SAM4CParams(cfg.mmt, cfg.text_bert, num_answers),
         dtype=jnp.bfloat16,
+        attention_backend=ATTN,
     )
     batch = {
         k: jnp.asarray(v)

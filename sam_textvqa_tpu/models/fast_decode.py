@@ -313,16 +313,121 @@ def decode_rows(
     return jnp.concatenate([fixed, dyn], axis=-1)
 
 
-def greedy_decode_fast(model, params, batch, bos_idx: int):
-    """Greedy decode with the cached-encoder fast path.
+def _dec_row_embedding(params, cfg: MMTConfig, classifier_weight, ocr_mmt_in,
+                       token, t):
+    """PrevPredEmbeddings for ONE decoder row at position ``t``
+    (reference sa_m4c.py:900-948, restricted to a single step)."""
+    pp = params["mmt"]["prev_pred_embeddings"]
+    ans_num = classifier_weight.shape[0]
+    ans_emb = _layernorm(pp["ans_layer_norm"], classifier_weight)
+    ocr_emb = _layernorm(pp["ocr_layer_norm"], ocr_mmt_in).astype(ans_emb.dtype)
+    prev = token.astype(jnp.int32)  # (B,)
+    is_vocab = prev < ans_num
+    from_vocab = jnp.take(ans_emb, jnp.where(is_vocab, prev, 0), axis=0)
+    from_ocr = jnp.take_along_axis(
+        ocr_emb, jnp.where(is_vocab, 0, prev - ans_num)[:, None, None], axis=1
+    )[:, 0]
+    raw = jnp.where(is_vocab[:, None], from_vocab, from_ocr)  # (B, D)
+    token_type = (prev >= ans_num).astype(jnp.int32)
+    emb = jnp.take(pp["position_embeddings"], t, axis=0)[None] + jnp.take(
+        pp["token_type_embeddings"], token_type, axis=0
+    )
+    emb = _layernorm(pp["emb_layer_norm"], emb)
+    return (raw + emb.astype(raw.dtype))[:, None, :]  # (B, 1, D)
 
-    Same outputs as models.sa_m4c.greedy_decode (verified in tests), at a
-    fraction of the compute.
+
+def _decode_one_row(params, cfg: MMTConfig, cache: MMTCache,
+                    classifier_weight, ocr_mask, x, dec_kv, t):
+    """One decoder row (B,1,D) through all layers against cached encoder K/V
+    plus the growing decoder K/V buffers; returns (logits, new dec_kv).
+
+    ``dec_kv``: per layer (k, v) of shape (B, H, T, hd); positions > t hold
+    zeros and are masked out, so the buffers keep a fixed shape for scan.
+    """
+    mmt_p = params["mmt"]
+    h = cfg.num_attention_heads
+    b = x.shape[0]
+    t_max = cfg.num_decoding_steps
+    # additive bias over the T decoder key slots: only positions <= t visible
+    dec_col_bias = jnp.where(
+        jnp.arange(t_max)[None, None, None, :] <= t, 0.0, MASK_BIAS
+    )
+
+    new_dec_kv = []
+    n_i = s_i = 0
+    for li, layer_type in enumerate(cfg.layer_type_list):
+        if layer_type == "n":
+            lp = mmt_p[f"normal_layer_{n_i}"]
+            n_i += 1
+        else:
+            lp = mmt_p[f"spatial_layer_{s_i}"]
+            s_i += 1
+        ap = lp["attention_self"]
+        q = _split_heads(_dense(ap["query"], x), h)       # (B,H,1,hd)
+        k_row = _split_heads(_dense(ap["key"], x), h)     # (B,H,1,hd)
+        v_row = _split_heads(_dense(ap["value"], x), h)
+        k_buf, v_buf = dec_kv[li]
+        k_buf = jax.lax.dynamic_update_slice_in_dim(
+            k_buf, k_row.astype(k_buf.dtype), t, axis=2
+        )
+        v_buf = jax.lax.dynamic_update_slice_in_dim(
+            v_buf, v_row.astype(v_buf.dtype), t, axis=2
+        )
+        new_dec_kv.append((k_buf, v_buf))
+        k_enc, v_enc = cache.enc_kv[li]
+        hd = q.shape[-1]
+        scale = jnp.asarray(1.0 / np.sqrt(hd), q.dtype)
+        scores_enc = jnp.einsum("bhqd,bhkd->bhqk", q, k_enc) * scale
+        scores_dec = jnp.einsum("bhqd,bhkd->bhqk", q, k_buf) * scale
+        scores = jnp.concatenate(
+            [scores_enc + cache.enc_bias_cols.astype(scores_enc.dtype),
+             scores_dec + dec_col_bias.astype(scores_dec.dtype)], axis=-1
+        )
+        probs = jax.nn.softmax(
+            scores.astype(jnp.float32), axis=-1
+        ).astype(q.dtype)
+        # no fully-masked-row zeroing needed: a decoder row always sees its
+        # own (bias-0) position, so the row is never fully masked
+        le = k_enc.shape[2]
+        ctx = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs[..., :le], v_enc
+        ) + jnp.einsum("bhqk,bhkd->bhqd", probs[..., le:], v_buf)
+        ctx = _merge_heads(ctx)
+        op = lp["attention_output"]
+        attn_out = _layernorm(op["LayerNorm"], _dense(op["dense"], ctx) + x)
+        x = _ffn(lp, attn_out, attn_out)
+
+    ocr_begin = cfg.max_seq_length + cfg.max_obj_num
+    ocr_out = cache.enc_out[:, ocr_begin : ocr_begin + cfg.max_ocr_num]
+    fixed = jnp.matmul(x, classifier_weight.T.astype(x.dtype)) + params[
+        "classifier_bias"
+    ].astype(x.dtype)
+    pn = params["ocr_ptr_net"]
+    qd = _dense(pn["query"], x)
+    kd = _dense(pn["key"], ocr_out)
+    dk = qd.shape[-1]
+    dyn = jnp.einsum("btd,bkd->btk", qd, kd) / jnp.asarray(np.sqrt(dk), x.dtype)
+    dyn = dyn + (((1.0 - ocr_mask) * MASK_BIAS)[:, None, :]).astype(x.dtype)
+    return jnp.concatenate([fixed, dyn], axis=-1)[:, 0], tuple(new_dec_kv)
+
+
+def greedy_decode_fast(model, params, batch, bos_idx: int):
+    """Greedy decode: encoder cache + true incremental decoding.
+
+    Phase 1 runs the MMT once over the 170 encoder tokens (build_mmt_cache).
+    Phase 2 processes ONE decoder row per step against cached encoder AND
+    decoder K/V — each row's embedding and K/V depend only on its own
+    (already-final) prev token, so computing it once is mathematically
+    identical to the reference's 12 full-sequence recomputes
+    (reference sa_m4c.py:285-302). ~12x less decode compute than even the
+    cached-encoder multi-row variant.
+
+    Same outputs as models.sa_m4c.greedy_decode (verified in tests).
     """
     from .sa_m4c import SAM4C
 
     cfg = model.params_cfg.mmt
-    t = cfg.num_decoding_steps
+    t_max = cfg.num_decoding_steps
     encodings = model.apply(
         {"params": params}, batch, method=SAM4C.encode, deterministic=True
     )
@@ -340,18 +445,31 @@ def greedy_decode_fast(model, params, batch, bos_idx: int):
     b = batch["train_prev_inds"].shape[0]
     classifier_weight = params["classifier_weight"]
     ocr_mask = batch["pad_ocr_mask"].astype(jnp.float32)
-    prev_inds = jnp.zeros((b, t), dtype=jnp.int32).at[:, 0].set(bos_idx)
+    h = cfg.num_attention_heads
+    hd = cfg.hidden_size // h
+    # decoder rows run in f32 regardless of model dtype (the row embedding
+    # flows through the f32 classifier-weight layernorm, exactly like the
+    # multi-row path before it) — bf16 K/V rows upcast losslessly
+    dtype = jnp.float32
+    dec_kv = tuple(
+        (jnp.zeros((b, h, t_max, hd), dtype), jnp.zeros((b, h, t_max, hd), dtype))
+        for _ in cfg.layer_type_list
+    )
 
-    def step(prev_inds, _):
-        scores = decode_rows(
-            params, cfg, cache, classifier_weight, prev_inds, ocr_mask
+    def step(carry, t):
+        token, dec_kv = carry
+        x = _dec_row_embedding(
+            params, cfg, classifier_weight, cache.ocr_mmt_in, token, t
         )
-        argmax_inds = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-        new_prev = prev_inds.at[:, 1:].set(argmax_inds[:, :-1])
-        return new_prev, scores
+        logits, dec_kv = _decode_one_row(
+            params, cfg, cache, classifier_weight, ocr_mask, x, dec_kv, t
+        )
+        next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (next_token, dec_kv), logits
 
-    prev_inds, all_scores = jax.lax.scan(step, prev_inds, None, length=t)
-    final_scores = all_scores[-1]
+    bos = jnp.full((b,), bos_idx, dtype=jnp.int32)
+    _, all_logits = jax.lax.scan(step, (bos, dec_kv), jnp.arange(t_max))
+    final_scores = all_logits.transpose(1, 0, 2)  # (B, T, V)
     return final_scores, jnp.argmax(final_scores, axis=-1).astype(jnp.int32)
 
 

@@ -169,7 +169,10 @@ class MMT(nn.Module):
         # base bias for normal layers
         base_bias = jnp.where(base_ok, 0.0, MASK_BIAS).astype(jnp.float32)
 
-        use_pallas = self.attention_backend == "pallas"
+        # pallas is deterministic-only: with dropout active the XLA path is
+        # faster on v5e (the fused train kernel was measured 5% slower and
+        # removed, see ops/fused_attention.py), so training silently uses xla
+        use_pallas = self.attention_backend == "pallas" and deterministic
 
         # combined boolean masks per spatial context key, built once
         # (skipped entirely on the pallas path — the kernel rebuilds the

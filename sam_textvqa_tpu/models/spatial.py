@@ -149,7 +149,11 @@ class SpatialBertSelfAttention(nn.Module):
         # pallas kernels only compile for TPU; CPU (tests, virtual meshes)
         # runs them interpreted
         interpret = jax.default_backend() == "cpu"
-        if pallas_ctx is not None and deterministic:
+        if pallas_ctx is not None:
+            # deterministic only: MMT supplies a pallas_ctx exclusively for
+            # eval/decode passes (the fused train variant measured 5% slower
+            # than XLA on v5e and was removed; see ops/fused_attention.py)
+            assert deterministic, "pallas path is deterministic-only"
             from ..ops.fused_attention import spatial_attention_fwd
 
             ctx = spatial_attention_fwd(
@@ -164,35 +168,6 @@ class SpatialBertSelfAttention(nn.Module):
                 dec_len=pallas_ctx["dec_len"],
                 mask_quadrants=pallas_ctx["quadrants"],
                 interpret=interpret,
-            ).astype(self.dtype)
-        elif pallas_ctx is not None:
-            # training: fused fwd+bwd kernel with in-kernel dropout
-            # (deterministic per (seed, batch, head); see ops/fused_attention)
-            from ..ops.fused_attention import make_spatial_attention_train
-
-            attn_fn = make_spatial_attention_train(
-                q_len=pallas_ctx["q_len"],
-                n_ctx=pallas_ctx["n_ctx"],
-                dec_len=pallas_ctx["dec_len"],
-                mask_quadrants=pallas_ctx["quadrants"],
-                dropout_rate=self.dropout_rate,
-                interpret=interpret,
-            )
-            if self.dropout_rate > 0.0:
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (), 0,
-                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
-                )
-            else:
-                seed = jnp.int32(0)
-            ctx = attn_fn(
-                q.astype(jnp.float32),
-                k.astype(jnp.float32),
-                v.astype(jnp.float32),
-                pallas_ctx["classes"],
-                pallas_ctx["lut"],
-                pallas_ctx["col_mask"],
-                seed,
             ).astype(self.dtype)
         else:
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(

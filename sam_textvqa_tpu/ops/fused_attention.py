@@ -17,9 +17,11 @@ Numerics match the jnp reference exactly at fp32: the bias is the same
 exp(-10000) contributions, reference sam/sa_m4c.py:551-584), fully-masked
 rows are zeroed like ``entity_probs_mask``.
 
-Forward-only kernel wrapped in ``jax.custom_vjp``; the backward pass
-recomputes via the jnp reference formulation (identical math), so training
-can use the kernel too.
+Deterministic (eval/decode) forward only. A fused fwd+bwd training variant
+with in-kernel dropout existed through round 1 but was measured 5% SLOWER
+than the XLA path on a real v5e (1074 vs 1128 samples/s, bf16 batch 64, c3)
+— XLA already fuses the mask+softmax chain well — so it was deleted;
+training always uses the XLA path (models/mmt.py gates on ``deterministic``).
 
 Layout: grid over (batch, head); one program handles a full (L_pad, L_pad)
 attention for one (b, h) — L=182 pads to 256, comfortably inside VMEM
@@ -123,16 +125,6 @@ def _softmax_probs(scores, combined_ok):
     return probs * row_alive
 
 
-def _dropout_mask(seed_ref, b, h, shape, rate: float):
-    """Deterministic per-(seed, b, h) dropout keep-mask scaled by 1/keep,
-    regenerated identically in the backward kernel (hardware PRNG)."""
-    pltpu.prng_seed(seed_ref[0] + b * 4096 + h)
-    bits = pltpu.prng_random_bits(shape)
-    threshold = np.uint32(min(int(rate * (2**32)), 2**32 - 1))
-    keep = pltpu.bitcast(bits, jnp.uint32) >= threshold
-    return jnp.where(keep, 1.0 / (1.0 - rate), 0.0)
-
-
 def _attention_kernel(
     q_ref,        # (L_pad, D) f32
     k_ref,        # (L_pad, D)
@@ -140,7 +132,6 @@ def _attention_kernel(
     classes_ref,  # (L_pad, L_pad) int32 frame (0 = no relation)
     lut_ref,      # (H, 16) f32 — relation->head LUT row per head
     colmask_ref,  # (1, L_pad) f32 — 1 on attendable encoder cols
-    seed_ref,     # (1,) int32 in SMEM (dropout seed; unused if rate == 0)
     out_ref,      # (L_pad, D)
     *,
     q_len: int,
@@ -155,7 +146,6 @@ def _attention_kernel(
     mask_q8: bool,
     mask_q9: bool,
     spatial_head: bool,
-    dropout_rate: float = 0.0,
 ):
     l_pad = q_ref.shape[0]
     h = pl.program_id(1)
@@ -173,89 +163,12 @@ def _attention_kernel(
         spatial_head=spatial_head,
     )
     probs = _softmax_probs(scores, combined_ok)
-    if dropout_rate > 0.0:
-        probs = probs * _dropout_mask(
-            seed_ref, pl.program_id(0), h, probs.shape, dropout_rate
-        )
 
     out_ref[:] = jax.lax.dot_general(
         probs, v_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(out_ref.dtype)
-
-
-def _attention_bwd_kernel(
-    q_ref, k_ref, v_ref, classes_ref, lut_ref, colmask_ref, seed_ref, g_ref,
-    dq_ref, dk_ref, dv_ref,
-    *,
-    q_len: int, n_ctx: int, dec_len: int, length: int, scale: float,
-    mask_q1: bool, mask_q2: bool, mask_q4: bool, mask_q7: bool,
-    mask_q8: bool, mask_q9: bool, spatial_head: bool,
-    dropout_rate: float = 0.0,
-):
-    """Recompute-style backward: rebuild mask/probs/dropout in VMEM, no
-    (L, L) residuals in HBM. Chain: S -> P(softmax) -> P*alive -> P*drop ->
-    O = P_drop @ V."""
-    l_pad = q_ref.shape[0]
-    h = pl.program_id(1)
-
-    q = q_ref[:]
-    k = k_ref[:]
-    v = v_ref[:]
-    g = g_ref[:].astype(jnp.float32)
-
-    scores = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    combined_ok = _combined_mask(
-        classes_ref, lut_ref, colmask_ref, h, l_pad,
-        q_len=q_len, n_ctx=n_ctx, length=length,
-        mask_q1=mask_q1, mask_q2=mask_q2, mask_q4=mask_q4,
-        mask_q7=mask_q7, mask_q8=mask_q8, mask_q9=mask_q9,
-        spatial_head=spatial_head,
-    )
-    probs = _softmax_probs(scores, combined_ok)  # P * alive
-    if dropout_rate > 0.0:
-        drop = _dropout_mask(
-            seed_ref, pl.program_id(0), h, probs.shape, dropout_rate
-        )
-        probs_final = probs * drop
-    else:
-        drop = None
-        probs_final = probs
-
-    # dV = P_final^T @ g
-    dv_ref[:] = jax.lax.dot_general(
-        probs_final, g, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dv_ref.dtype)
-
-    # dP_final = g @ V^T ; back through dropout & alive (alive is 0/1 and
-    # already folded into `probs`, whose zero rows null dS below)
-    d_probs = jax.lax.dot_general(
-        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if drop is not None:
-        d_probs = d_probs * drop
-    # softmax vjp through P (rows fully masked have probs == 0 -> dS == 0)
-    row_dot = jnp.sum(d_probs * probs, axis=-1, keepdims=True)
-    d_scores = probs * (d_probs - row_dot)
-
-    dq_ref[:] = (
-        jax.lax.dot_general(
-            d_scores, k, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-    ).astype(dq_ref.dtype)
-    dk_ref[:] = (
-        jax.lax.dot_general(
-            d_scores, q, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-    ).astype(dk_ref.dtype)
 
 
 def _classes_block_spec(n_pad):
@@ -304,19 +217,18 @@ def _in_specs(l_pad, d_pad):
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec((None, 1, l_pad), lambda bi, hi: (bi, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
 
 
 def _kernel_statics(d, q_len, n_ctx, dec_len, length, mask_quadrants,
-                    spatial, dropout_rate):
+                    spatial):
     quad = set(mask_quadrants)
     return dict(
         q_len=q_len, n_ctx=n_ctx, dec_len=dec_len, length=length,
         scale=1.0 / float(np.sqrt(d)),
         mask_q1=1 in quad, mask_q2=2 in quad, mask_q4=4 in quad,
         mask_q7=7 in quad, mask_q8=8 in quad, mask_q9=9 in quad,
-        spatial_head=spatial, dropout_rate=dropout_rate,
+        spatial_head=spatial,
     )
 
 
@@ -324,32 +236,28 @@ def _kernel_statics(d, q_len, n_ctx, dec_len, length, mask_quadrants,
     jax.jit,
     static_argnames=(
         "q_len", "n_ctx", "dec_len", "mask_quadrants", "spatial",
-        "dropout_rate", "interpret",
+        "interpret",
     ),
 )
 def spatial_attention_fwd(
-    q, k, v, classes, lut, col_mask, seed=None,
+    q, k, v, classes, lut, col_mask,
     *, q_len: int, n_ctx: int, dec_len: int,
     mask_quadrants: Tuple[int, ...] = (1, 2),
     spatial: bool = True,
-    dropout_rate: float = 0.0,
     interpret: bool = False,
 ):
-    """Fused forward. q/k/v: (B, H, L, D) f32; classes: (B, N, N) int;
-    lut: (13, H); col_mask: (B, L); seed: int32 scalar for dropout.
+    """Fused deterministic forward. q/k/v: (B, H, L, D) f32;
+    classes: (B, N, N) int; lut: (13, H); col_mask: (B, L).
     Returns (B, H, L, D)."""
     b, h, length, d = q.shape
     assert length == q_len + n_ctx + dec_len
     qp, kp, vp, cls_frame, lut_h, cm, l_pad, d_pad = _prepare_inputs(
         q, k, v, classes, lut, col_mask, q_len, n_ctx, length
     )
-    seed_arr = jnp.asarray(
-        [0 if seed is None else seed], dtype=jnp.int32
-    ).reshape(1)
     kernel = functools.partial(
         _attention_kernel,
         **_kernel_statics(d, q_len, n_ctx, dec_len, length, mask_quadrants,
-                          spatial, dropout_rate),
+                          spatial),
     )
     out = pl.pallas_call(
         kernel,
@@ -358,73 +266,5 @@ def spatial_attention_fwd(
         out_specs=_qkv_spec(l_pad, d_pad),
         out_shape=jax.ShapeDtypeStruct((b, h, l_pad, d_pad), q.dtype),
         interpret=interpret,
-    )(qp, kp, vp, cls_frame, lut_h, cm, seed_arr)
+    )(qp, kp, vp, cls_frame, lut_h, cm)
     return out[:, :, :length, :d]
-
-
-def make_spatial_attention_train(
-    *, q_len: int, n_ctx: int, dec_len: int,
-    mask_quadrants: Tuple[int, ...] = (1, 2),
-    dropout_rate: float = 0.1,
-    interpret: bool = False,
-):
-    """Differentiable fused spatial attention with in-kernel dropout.
-
-    Returns f(q, k, v, classes, lut, col_mask, seed) -> (B, H, L, D).
-    Forward and backward are both Pallas kernels; the backward recomputes
-    masks/probs/dropout in VMEM (flash-style, no (L, L) residuals in HBM).
-    The dropout mask is a deterministic function of (seed, batch, head), so
-    forward and backward agree exactly.
-    """
-    length = q_len + n_ctx + dec_len
-
-    @jax.custom_vjp
-    def attn(q, k, v, classes, lut, col_mask, seed):
-        return spatial_attention_fwd(
-            q, k, v, classes, lut, col_mask, seed,
-            q_len=q_len, n_ctx=n_ctx, dec_len=dec_len,
-            mask_quadrants=mask_quadrants, dropout_rate=dropout_rate,
-            interpret=interpret,
-        )
-
-    def fwd(q, k, v, classes, lut, col_mask, seed):
-        out = attn(q, k, v, classes, lut, col_mask, seed)
-        return out, (q, k, v, classes, lut, col_mask, seed)
-
-    def bwd(res, g):
-        q, k, v, classes, lut, col_mask, seed = res
-        b, h, _, d = q.shape
-        qp, kp, vp, cls_frame, lut_h, cm, l_pad, d_pad = _prepare_inputs(
-            q, k, v, classes, lut, col_mask, q_len, n_ctx, length
-        )
-        gp = jnp.pad(
-            g.astype(q.dtype),
-            ((0, 0), (0, 0), (0, l_pad - length), (0, d_pad - d)),
-        )
-        seed_arr = jnp.asarray([seed], dtype=jnp.int32).reshape(1)
-        kernel = functools.partial(
-            _attention_bwd_kernel,
-            **_kernel_statics(d, q_len, n_ctx, dec_len, length,
-                              mask_quadrants, True, dropout_rate),
-        )
-        dq, dk, dv = pl.pallas_call(
-            kernel,
-            grid=(b, h),
-            in_specs=_in_specs(l_pad, d_pad) + [_qkv_spec(l_pad, d_pad)],
-            out_specs=(
-                _qkv_spec(l_pad, d_pad),
-                _qkv_spec(l_pad, d_pad),
-                _qkv_spec(l_pad, d_pad),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((b, h, l_pad, d_pad), q.dtype),
-                jax.ShapeDtypeStruct((b, h, l_pad, d_pad), q.dtype),
-                jax.ShapeDtypeStruct((b, h, l_pad, d_pad), q.dtype),
-            ),
-            interpret=interpret,
-        )(qp, kp, vp, cls_frame, lut_h, cm, seed_arr, gp)
-        sl = lambda t: t[:, :, :length, :d]
-        return sl(dq), sl(dk), sl(dv), None, None, None, None
-
-    attn.defvjp(fwd, bwd)
-    return attn

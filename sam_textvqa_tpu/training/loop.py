@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import logging
 import os
+import signal
+import threading
 import time
 from typing import Callable, Dict, Optional
 
@@ -144,6 +146,22 @@ def train(
     evaluator = Evaluator(model, answer_vocab, metric=task_cfg.metric)
     special = answer_vocab.special_ids()
 
+    # elastic shutdown: on SIGTERM/SIGINT finish the in-flight step, write
+    # last_state, and return cleanly so --resume continues from here (goes
+    # beyond the reference, which loses all progress on preemption)
+    interrupted = threading.Event()
+    prev_handlers = {}
+    if threading.current_thread() is threading.main_thread():
+        def _on_signal(signum, frame):
+            logger.warning(
+                "caught signal %d; checkpointing to %s after this step",
+                signum, resume_path,
+            )
+            interrupted.set()
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            prev_handlers[sig] = signal.signal(sig, _on_signal)
+
     stop = False
     for epoch_id in range(start_epoch, num_epochs):
         losses, accs = [], []
@@ -186,6 +204,19 @@ def train(
                     epoch_id, it, loss_avg, acc, samples_window / dt,
                 )
                 losses, t_window, samples_window = [], time.time(), 0
+            if interrupted.is_set():
+                save_checkpoint(
+                    resume_path, state,
+                    epoch_id=epoch_id - 1,  # epoch incomplete: redo on resume
+                    val_score=best_val_score,
+                )
+                logger.info(
+                    "interrupted at step %d; last_state saved, exiting",
+                    int(state.step),
+                )
+                for sig, h in prev_handlers.items():
+                    signal.signal(sig, h)
+                return state
             if max_steps is not None and int(state.step) >= max_steps:
                 stop = True
                 break
@@ -209,4 +240,6 @@ def train(
         )
         if stop:
             break
+    for sig, h in prev_handlers.items():
+        signal.signal(sig, h)
     return state

@@ -109,3 +109,51 @@ def test_cli_c5_config(tmp_path):
               "--batch_size", "8", "--max_steps", "2",
               "--num_train_epochs", "1"])
     assert r.returncode == 0, r.stderr[-3000:]
+
+
+@pytest.mark.slow
+def test_cli_sigterm_checkpoints_and_resumes(tmp_path):
+    """SIGTERM mid-training writes last_state and exits cleanly; --resume
+    continues from the saved step (elastic preemption handling; the
+    reference loses all progress, train.py:104)."""
+    import signal
+    import time
+
+    cfg = _tiny_config(tmp_path)
+    with open(cfg) as f:
+        raw = yaml.safe_load(f)
+    raw["TextBERT"].update(hidden_size=48, intermediate_size=96,
+                           num_attention_heads=4)
+    with open(cfg, "w") as f:
+        f.write(yaml.safe_dump(raw))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "train.py", "--config", cfg, "--tag", "sig",
+         "--synthetic", "16", "--batch_size", "8",
+         "--num_train_epochs", "200"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True,
+    )
+    save_dir = tmp_path / "save" / "sig"
+    # wait until at least one epoch checkpoint exists -> training is live
+    deadline = time.time() + 600
+    while time.time() < deadline and not (save_dir / "last_state").exists():
+        assert proc.poll() is None, proc.communicate()[1][-3000:]
+        time.sleep(1.0)
+    assert (save_dir / "last_state").exists(), "training never checkpointed"
+    proc.send_signal(signal.SIGTERM)
+    out, err = proc.communicate(timeout=300)
+    assert proc.returncode == 0, err[-3000:]
+    assert "interrupted at step" in (out + err)
+
+    r = _run(["--config", cfg, "--tag", "sig", "--synthetic", "16",
+              "--batch_size", "8", "--resume", "--max_steps", "1000",
+              "--num_train_epochs", "1"])
+    # max_steps far above the saved step: the resumed run stops after its
+    # single epoch; what matters is that it picked the checkpoint up
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "resumed from" in (r.stderr + r.stdout)

@@ -135,8 +135,10 @@ def test_model_backend_parity():
 
 
 def test_train_gradients_match_backends():
-    """Training-mode gradients (dropout off for comparability): pallas
-    custom-VJP == XLA autodiff through the whole model (interpret mode)."""
+    """Training-mode gradients: the pallas backend silently falls back to
+    the XLA path when deterministic=False (the fused train kernel was
+    demoted after losing 5% to XLA on v5e), so gradients must match XLA
+    exactly (dropout off for comparability; interpret mode)."""
     from jax.experimental.pallas import tpu as pltpu
 
     from sam_textvqa_tpu.config import task_config_from_dict
@@ -189,12 +191,10 @@ def test_train_gradients_match_backends():
         )
 
 
-def test_train_with_dropout_runs_pallas_path():
-    """The fused train kernel with in-kernel dropout must run end-to-end
-    through the model (this path once crashed on a missing import — it is
-    only reachable with deterministic=False and dropout > 0)."""
-    from jax.experimental.pallas import tpu as pltpu
-
+def test_train_with_dropout_falls_back_to_xla():
+    """With deterministic=False and dropout active, the pallas backend must
+    run the XLA path end-to-end (the fused train kernel was removed; the
+    pallas kernel is deterministic-only, ops/fused_attention.py)."""
     from sam_textvqa_tpu.config import task_config_from_dict
     from sam_textvqa_tpu.data.synthetic import device_batch, make_batch
     from sam_textvqa_tpu.models.sa_m4c import SAM4C, SAM4CParams
@@ -228,7 +228,6 @@ def test_train_with_dropout_runs_pallas_path():
             out["scores"], batch["targets"], batch["train_loss_mask"]
         )
 
-    with pltpu.force_tpu_interpret_mode():
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+    loss, grads = jax.value_and_grad(loss_fn)(params)
     assert np.isfinite(float(loss))
     assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))

@@ -52,6 +52,11 @@ def get_args():
     parser.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     parser.add_argument("--beam_size", type=int, default=1)
     parser.add_argument(
+        "--attention_backend", choices=["xla", "pallas"], default="xla",
+        help="spatial-attention implementation: xla (explicit masks, "
+        "default) or pallas (ops/fused_attention.py kernel)",
+    )
+    parser.add_argument(
         "--prng", choices=["rbg", "threefry"], default="threefry",
         help="threefry (default; stable) or rbg (hardware RNG, ~20%% faster "
         "dropout but faults the TPU worker under sustained load on the "
@@ -246,6 +251,7 @@ def main():
     model = SAM4C(
         params_cfg=SAM4CParams(task_cfg.mmt, task_cfg.text_bert, len(vocab)),
         dtype=dtype,
+        attention_backend=args.attention_backend,
     )
     sample = {
         k: jnp.asarray(v)

@@ -23,8 +23,10 @@ BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 STEPS = int(os.environ.get("BENCH_STEPS", "30"))
 WARMUP = 3
 # BENCH_MODE=eval benchmarks greedy 12-step decoding (fast cached-encoder
-# path) instead of training
+# path) instead of training; BENCH_MODE=beam benchmarks beam search
+# (BENCH_BEAM, default 5)
 MODE = os.environ.get("BENCH_MODE", "train")
+BEAM = int(os.environ.get("BENCH_BEAM", "5"))
 # threefry by default: rbg (hardware PRNG) dropout faults the TPU worker
 # after ~15 sustained steps on the current libtpu (bisected in round 1's
 # verdict). BENCH_PRNG=rbg restores the old behavior for A/B runs.
@@ -82,10 +84,13 @@ def main():
         )["params"]
     )()
 
-    if MODE == "eval":
+    if MODE in ("eval", "beam"):
         import jax.numpy as jnp
 
-        from sam_textvqa_tpu.models.fast_decode import greedy_decode_fast
+        from sam_textvqa_tpu.models.fast_decode import (
+            beam_search_decode_fast,
+            greedy_decode_fast,
+        )
 
         # chain iterations through a device-side dependency so the lazy
         # remote runtime cannot elide executions
@@ -95,6 +100,9 @@ def main():
             b["question_indices"] = b["question_indices"] + jnp.int32(
                 jnp.sum(carry) * 0
             )
+            if MODE == "beam":
+                seqs, _ = beam_search_decode_fast(model, p, b, BEAM, 1, 2)
+                return seqs[:, 0, :]
             _, pred = greedy_decode_fast(model, p, b, 1)
             return pred
 
@@ -112,8 +120,13 @@ def main():
             carry = chained(params, batch, carry)
         int(jnp.sum(carry))
         dt = time.time() - t0
+        name = (
+            f"textvqa_beam{BEAM}_eval_samples_per_sec_per_chip"
+            if MODE == "beam"
+            else "textvqa_greedy_eval_samples_per_sec_per_chip"
+        )
         out = {
-            "metric": "textvqa_greedy_eval_samples_per_sec_per_chip",
+            "metric": name,
             "value": round(BATCH * STEPS / dt, 1),
             "unit": "samples/s/chip",
             "vs_baseline": None,

@@ -411,6 +411,105 @@ def _decode_one_row(params, cfg: MMTConfig, cache: MMTCache,
     return jnp.concatenate([fixed, dyn], axis=-1)[:, 0], tuple(new_dec_kv)
 
 
+def _dec_row_embedding_beams(params, cfg: MMTConfig, classifier_weight,
+                             ocr_mmt_in, tokens, t):
+    """(B, K) prev tokens -> (B, K, D) row embeddings at position ``t``,
+    gathering OCR embeddings from the UNTILED (B, OCR, D) encoder output."""
+    pp = params["mmt"]["prev_pred_embeddings"]
+    ans_num = classifier_weight.shape[0]
+    ans_emb = _layernorm(pp["ans_layer_norm"], classifier_weight)
+    ocr_emb = _layernorm(pp["ocr_layer_norm"], ocr_mmt_in).astype(ans_emb.dtype)
+    prev = tokens.astype(jnp.int32)  # (B, K)
+    is_vocab = prev < ans_num
+    from_vocab = jnp.take(ans_emb, jnp.where(is_vocab, prev, 0), axis=0)
+    from_ocr = jnp.take_along_axis(
+        ocr_emb, jnp.where(is_vocab, 0, prev - ans_num)[:, :, None], axis=1
+    )
+    raw = jnp.where(is_vocab[:, :, None], from_vocab, from_ocr)  # (B, K, D)
+    token_type = (prev >= ans_num).astype(jnp.int32)
+    emb = jnp.take(pp["position_embeddings"], t, axis=0)[None, None] + jnp.take(
+        pp["token_type_embeddings"], token_type, axis=0
+    )
+    emb = _layernorm(pp["emb_layer_norm"], emb)
+    return raw + emb.astype(raw.dtype)
+
+
+def _decode_one_row_beams(params, cfg: MMTConfig, cache: MMTCache,
+                          classifier_weight, ocr_mask, x, dec_kv, t):
+    """Beam variant of :func:`_decode_one_row`: ``x`` is (B, K, D) — one
+    decoder row per beam — and the UNTILED per-sample encoder cache is
+    shared by all K beams via the query dimension (tiling enc K/V across
+    beams costs K x the dominant HBM read per step; this shares it).
+
+    ``dec_kv``: per layer (k, v) of shape (B, K, H, T, hd) — per-beam
+    decoder histories (they differ across beams after reordering).
+    """
+    mmt_p = params["mmt"]
+    h = cfg.num_attention_heads
+    b, kbeams, d = x.shape
+    t_max = cfg.num_decoding_steps
+    dec_col_bias = jnp.where(
+        jnp.arange(t_max)[None, None, None, :] <= t, 0.0, MASK_BIAS
+    )  # (1, 1, 1, T)
+
+    new_dec_kv = []
+    n_i = s_i = 0
+    for li, layer_type in enumerate(cfg.layer_type_list):
+        if layer_type == "n":
+            lp = mmt_p[f"normal_layer_{n_i}"]
+            n_i += 1
+        else:
+            lp = mmt_p[f"spatial_layer_{s_i}"]
+            s_i += 1
+        ap = lp["attention_self"]
+        hd = d // h
+        q = _dense(ap["query"], x).reshape(b, kbeams, h, hd)
+        k_row = _dense(ap["key"], x).reshape(b, kbeams, h, 1, hd)
+        v_row = _dense(ap["value"], x).reshape(b, kbeams, h, 1, hd)
+        k_buf, v_buf = dec_kv[li]
+        k_buf = jax.lax.dynamic_update_slice_in_dim(
+            k_buf, k_row.astype(k_buf.dtype), t, axis=3
+        )
+        v_buf = jax.lax.dynamic_update_slice_in_dim(
+            v_buf, v_row.astype(v_buf.dtype), t, axis=3
+        )
+        new_dec_kv.append((k_buf, v_buf))
+        k_enc, v_enc = cache.enc_kv[li]  # (B, H, Le, hd) — untiled
+        scale = jnp.asarray(1.0 / np.sqrt(hd), q.dtype)
+        # beams ride the query dim against the shared encoder keys
+        scores_enc = jnp.einsum("bkhd,bhld->bkhl", q, k_enc) * scale
+        scores_dec = jnp.einsum("bkhd,bkhtd->bkht", q, k_buf) * scale
+        # enc_bias_cols: (B, 1, 1, Le) -> broadcast over (K, H)
+        scores = jnp.concatenate(
+            [scores_enc + cache.enc_bias_cols.astype(scores_enc.dtype),
+             scores_dec + dec_col_bias.astype(scores_dec.dtype)], axis=-1
+        )
+        probs = jax.nn.softmax(
+            scores.astype(jnp.float32), axis=-1
+        ).astype(q.dtype)
+        le = k_enc.shape[2]
+        ctx = jnp.einsum(
+            "bkhl,bhld->bkhd", probs[..., :le], v_enc
+        ) + jnp.einsum("bkht,bkhtd->bkhd", probs[..., le:], v_buf)
+        ctx = ctx.reshape(b, kbeams, d)
+        op = lp["attention_output"]
+        attn_out = _layernorm(op["LayerNorm"], _dense(op["dense"], ctx) + x)
+        x = _ffn(lp, attn_out, attn_out)
+
+    ocr_begin = cfg.max_seq_length + cfg.max_obj_num
+    ocr_out = cache.enc_out[:, ocr_begin : ocr_begin + cfg.max_ocr_num]
+    fixed = jnp.matmul(x, classifier_weight.T.astype(x.dtype)) + params[
+        "classifier_bias"
+    ].astype(x.dtype)
+    pn = params["ocr_ptr_net"]
+    qd = _dense(pn["query"], x)          # (B, K, dk)
+    kd = _dense(pn["key"], ocr_out)      # (B, OCR, dk)
+    dk = qd.shape[-1]
+    dyn = jnp.einsum("bkd,bod->bko", qd, kd) / jnp.asarray(np.sqrt(dk), x.dtype)
+    dyn = dyn + (((1.0 - ocr_mask) * MASK_BIAS)[:, None, :]).astype(x.dtype)
+    return jnp.concatenate([fixed, dyn], axis=-1), tuple(new_dec_kv)
+
+
 def greedy_decode_fast(model, params, batch, bos_idx: int):
     """Greedy decode: encoder cache + true incremental decoding.
 
@@ -476,9 +575,11 @@ def greedy_decode_fast(model, params, batch, bos_idx: int):
 def beam_search_decode_fast(
     model, params, batch, beam_size: int, bos_idx: int, eos_idx: int
 ):
-    """Beam search on the fast path: the encoder cache is computed once per
-    sample and tiled across beams (the slow path re-runs the full MMT per
-    beam per step)."""
+    """Beam search on the fast path: encoder cache computed once per sample
+    and tiled across beams, then TRUE incremental decoding — one decoder row
+    per step with per-step beam-reorder of the decoder K/V buffers (the slow
+    path re-runs the full MMT per beam per step; round 1's fast path still
+    recomputed all 12 decoder rows per step)."""
     from .sa_m4c import SAM4C
 
     cfg = model.params_cfg.mmt
@@ -500,31 +601,48 @@ def beam_search_decode_fast(
         batch["pad_ocr_mask"].astype(jnp.float32),
         batch["spatial_classes"],
     )
-    tile = lambda x: jnp.repeat(x, k, axis=0)
-    cache = MMTCache(
-        enc_kv=tuple((tile(kk), tile(vv)) for kk, vv in cache.enc_kv),
-        enc_out=tile(cache.enc_out),
-        enc_bias_cols=tile(cache.enc_bias_cols),
-        ocr_mmt_in=tile(cache.ocr_mmt_in),
-        spatial_dec_masked=cache.spatial_dec_masked,
-    )
-    ocr_mask = tile(batch["pad_ocr_mask"].astype(jnp.float32))
+    # the encoder cache is NOT tiled across beams: all K beams of a sample
+    # share it through the query dimension (_decode_one_row_beams), so the
+    # dominant per-step HBM read (12 layers of enc K/V) is paid once
+    ocr_mask = batch["pad_ocr_mask"].astype(jnp.float32)
     classifier_weight = params["classifier_weight"]
+    h = cfg.num_attention_heads
+    hd = cfg.hidden_size // h
+    dec_kv0 = tuple(
+        (
+            jnp.zeros((b, k, h, t_max, hd), jnp.float32),
+            jnp.zeros((b, k, h, t_max, hd), jnp.float32),
+        )
+        for _ in cfg.layer_type_list
+    )
 
     seqs = jnp.zeros((b, k, t_max), dtype=jnp.int32).at[:, :, 0].set(bos_idx)
     beam_scores = jnp.zeros((b, k), dtype=jnp.float32)
     done = jnp.zeros((b, k), dtype=bool)
     neg_inf = -1e30
 
-    def step(carry, t):
-        seqs, beam_scores, done = carry
-        scores = decode_rows(
-            params, cfg, cache, classifier_weight,
-            seqs.reshape(b * k, t_max), ocr_mask,
+    def gather_beams(t5, prev_beam):
+        """Reorder a (B, K, H, T, hd) buffer along the beam dim."""
+        return jnp.take_along_axis(
+            t5, prev_beam[:, :, None, None, None], axis=1
         )
-        logits_t = jax.lax.dynamic_index_in_dim(scores, t, axis=1, keepdims=False)
-        v = logits_t.shape[-1]
-        step_scores = jax.nn.log_sigmoid(logits_t.astype(jnp.float32)).reshape(b, k, v)
+
+    def step(carry, t):
+        seqs, beam_scores, done, dec_kv = carry
+        # the token at position t for every live beam (BOS at t == 0)
+        tokens = jax.lax.dynamic_index_in_dim(
+            seqs, t, axis=2, keepdims=False
+        )  # (B, K)
+        x = _dec_row_embedding_beams(
+            params, cfg, classifier_weight, cache.ocr_mmt_in, tokens, t
+        )
+        logits, dec_kv = _decode_one_row_beams(
+            params, cfg, cache, classifier_weight, ocr_mask, x, dec_kv, t
+        )
+        v = logits.shape[-1]
+        step_scores = jax.nn.log_sigmoid(
+            logits.astype(jnp.float32)
+        ).reshape(b, k, v)
         done_row = jnp.full((v,), neg_inf).at[eos_idx].set(0.0)
         step_scores = jnp.where(done[:, :, None], done_row[None, None], step_scores)
         total = beam_scores[:, :, None] + step_scores
@@ -533,20 +651,25 @@ def beam_search_decode_fast(
         )
         values, indices = jax.lax.top_k(total.reshape(b, k * v), k)
         prev_beam = indices // v
-        token = indices % v
+        token_next = indices % v
         seqs = jnp.take_along_axis(seqs, prev_beam[:, :, None], axis=1)
         done = jnp.take_along_axis(done, prev_beam, axis=1)
+        # the surviving beams' decoder K/V histories follow the reorder
+        dec_kv = tuple(
+            (gather_beams(kk, prev_beam), gather_beams(vv, prev_beam))
+            for kk, vv in dec_kv
+        )
         in_range = t + 1 < t_max
         write_pos = jnp.minimum(t + 1, t_max - 1)
         cur = jnp.take_along_axis(
             seqs, jnp.full((b, k, 1), write_pos), axis=2
         )[..., 0]
-        new_col = jnp.where(in_range, token, cur)
+        new_col = jnp.where(in_range, token_next, cur)
         seqs = jax.vmap(lambda s, c: s.at[:, write_pos].set(c))(seqs, new_col)
-        done = done | (token == eos_idx)
-        return (seqs, values, done), None
+        done = done | (token_next == eos_idx)
+        return (seqs, values, done, dec_kv), None
 
-    (seqs, beam_scores, done), _ = jax.lax.scan(
-        step, (seqs, beam_scores, done), jnp.arange(t_max)
+    (seqs, beam_scores, done, _), _ = jax.lax.scan(
+        step, (seqs, beam_scores, done, dec_kv0), jnp.arange(t_max)
     )
     return seqs, beam_scores

@@ -81,17 +81,13 @@ class Evaluator:
         self._greedy = None
 
     def _fast_supported(self) -> bool:
-        """The cached-encoder path covers every shipped config; fall back to
-        the full-recompute scan for implicit layers or decoder-row quadrant
-        masking (see models/fast_decode.py)."""
+        """The cached-encoder incremental path covers every shipped config
+        (including implicit layers and per-layer head counts); the only
+        fallback to the full-recompute scan is decoder-row quadrant masking
+        — quadrants 7/8/9 cut decoder rows spatially, which breaks the
+        encoder-cache invariant (see models/fast_decode.py)."""
         cfg = self.model.params_cfg.mmt
-        if "i" in cfg.layer_type_list:
-            return False
         if any(q in (7, 8, 9) for q in cfg.attention_mask_quadrants):
-            return False
-        # the fast path assumes spatial layers use the same head count as
-        # normal layers (true of every shipped config)
-        if cfg.num_attention_heads != cfg.num_spatial_relations:
             return False
         return True
 

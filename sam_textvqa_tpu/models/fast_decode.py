@@ -93,17 +93,31 @@ class MMTCache(NamedTuple):
     spatial_dec_masked: Tuple[bool, ...]  # per layer: dec rows spatially cut
 
 
-def _enc_spatial_bias(classes, lut, col_bias, q_len, n_ctx, quadrants, h):
-    """(B, H, Le, Le) additive bias for encoder rows under a spatial layer
-    (gather-free bitmask construction, see models/spatial.py)."""
+def _enc_spatial_bias(classes, lut, col_bias, q_len, n_ctx, quadrants, h,
+                      num_implicit=0):
+    """(B, H, Le, Le) additive bias for encoder rows under a spatial (or
+    implicit-augmented) layer (gather-free bitmask construction, see
+    models/spatial.py)."""
     from .spatial import build_spatial_allowed
 
     allowed = build_spatial_allowed(
         classes, lut, question_len=q_len, decode_len=0,
         mask_quadrants=tuple(quadrants), num_spatial_heads=h,
+        num_implicit_heads=num_implicit,
     )
     bias = jnp.where(allowed, 0.0, MASK_BIAS)
     return jnp.minimum(bias, col_bias)  # combine with padding mask
+
+
+def _layer_heads(cfg: MMTConfig, layer_type: str) -> int:
+    """Per-layer head count (reference sa_m4c.py: normal layers use
+    num_attention_heads, spatial layers num_spatial_relations, implicit
+    layers num_spatial_relations + num_implicit_relations)."""
+    if layer_type == "n":
+        return cfg.num_attention_heads
+    if layer_type == "s":
+        return cfg.num_spatial_relations
+    return cfg.num_spatial_relations + cfg.num_implicit_relations
 
 
 def build_mmt_cache(
@@ -119,13 +133,6 @@ def build_mmt_cache(
 ) -> MMTCache:
     """Phase 1: one pass of the MMT layers over the encoder tokens."""
     mmt_p = params["mmt"]
-    h = cfg.num_attention_heads
-    # the fast path assumes uniform head counts across layer types
-    # (Evaluator._fast_supported guards this; every shipped config complies)
-    assert cfg.num_attention_heads == cfg.num_spatial_relations, (
-        "fast decode requires num_attention_heads == num_spatial_relations; "
-        "use the scan decoder"
-    )
     q_len = cfg.max_seq_length
     n_ctx = spatial_classes.shape[-1]
     quadrants = tuple(cfg.attention_mask_quadrants)
@@ -136,9 +143,12 @@ def build_mmt_cache(
 
     spatial_bias = {}
 
-    def get_spatial_bias(key):
-        if key not in spatial_bias:
-            spatial_bias[key] = _enc_spatial_bias(
+    def get_spatial_bias(key, num_implicit):
+        # implicit layers carry extra always-on heads, so they need their
+        # own bias even for the same context key
+        cache_key = (key, num_implicit)
+        if cache_key not in spatial_bias:
+            spatial_bias[cache_key] = _enc_spatial_bias(
                 spatial_classes,
                 relation_head_lut(key),
                 col_bias,
@@ -146,8 +156,9 @@ def build_mmt_cache(
                 n_ctx,
                 quadrants,
                 cfg.num_spatial_relations,
+                num_implicit=num_implicit,
             )
-        return spatial_bias[key]
+        return spatial_bias[cache_key]
 
     enc_kv: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
     dec_spatial_cut = []
@@ -161,10 +172,16 @@ def build_mmt_cache(
         elif layer_type == "s":
             lp = mmt_p[f"spatial_layer_{s_i}"]
             s_i += 1
-            bias = get_spatial_bias(MATRIX_TYPE_MAP[mix])
+            bias = get_spatial_bias(MATRIX_TYPE_MAP[mix], 0)
             zero_rows = True
         else:
-            raise NotImplementedError("implicit layers in fast decode")
+            lp = mmt_p[f"implicit_layer_{i_i}"]
+            i_i += 1
+            bias = get_spatial_bias(
+                MATRIX_TYPE_MAP[mix], cfg.num_implicit_relations
+            )
+            zero_rows = True
+        h = _layer_heads(cfg, layer_type)
         ap = lp["attention_self"]
         q = _split_heads(_dense(ap["query"], x), h)
         k = _split_heads(_dense(ap["key"], x), h)
@@ -175,7 +192,7 @@ def build_mmt_cache(
         attn_out = _layernorm(op["LayerNorm"], _dense(op["dense"], ctx) + x)
         x = _ffn(lp, attn_out, attn_out)
         dec_spatial_cut.append(
-            layer_type == "s"
+            layer_type in ("s", "i")
             and any(quad in (7, 8, 9) for quad in quadrants)
         )
 
@@ -229,7 +246,6 @@ def decode_rows(
     Returns scores (B', T, num_answers + OCR).
     """
     mmt_p = params["mmt"]
-    h = cfg.num_attention_heads
     t_len = prev_inds.shape[1]
     b = prev_inds.shape[0]
 
@@ -238,16 +254,20 @@ def decode_rows(
     causal_ok = jnp.tril(jnp.ones((t_len, t_len), dtype=bool))
     dec_bias = jnp.where(causal_ok, 0.0, MASK_BIAS)[None, None]
 
-    n_i = s_i = 0
+    n_i = s_i = i_i = 0
     for li, (layer_type, mix) in enumerate(
         zip(cfg.layer_type_list, cfg.mix_list)
     ):
         if layer_type == "n":
             lp = mmt_p[f"normal_layer_{n_i}"]
             n_i += 1
-        else:
+        elif layer_type == "s":
             lp = mmt_p[f"spatial_layer_{s_i}"]
             s_i += 1
+        else:
+            lp = mmt_p[f"implicit_layer_{i_i}"]
+            i_i += 1
+        h = _layer_heads(cfg, layer_type)
         ap = lp["attention_self"]
         q = _split_heads(_dense(ap["query"], x), h)
         k_dec = _split_heads(_dense(ap["key"], x), h)
@@ -280,7 +300,7 @@ def decode_rows(
         # decoder rows always see unmasked encoder columns in practice, but
         # keep the fully-masked-row zeroing for spatial layers for exact
         # parity with the full forward (reference sa_m4c.py:574-584)
-        if layer_type == "s":
+        if layer_type in ("s", "i"):
             full_bias = jnp.concatenate(
                 [jnp.broadcast_to(enc_cols, scores_enc.shape),
                  jnp.broadcast_to(dec_bias, scores_dec.shape)], axis=-1
@@ -341,11 +361,11 @@ def _decode_one_row(params, cfg: MMTConfig, cache: MMTCache,
     """One decoder row (B,1,D) through all layers against cached encoder K/V
     plus the growing decoder K/V buffers; returns (logits, new dec_kv).
 
-    ``dec_kv``: per layer (k, v) of shape (B, H, T, hd); positions > t hold
-    zeros and are masked out, so the buffers keep a fixed shape for scan.
+    ``dec_kv``: per layer (k, v) of shape (B, H_layer, T, hd_layer);
+    positions > t hold zeros and are masked out, so the buffers keep a
+    fixed shape for scan. Head counts may differ per layer type.
     """
     mmt_p = params["mmt"]
-    h = cfg.num_attention_heads
     b = x.shape[0]
     t_max = cfg.num_decoding_steps
     # additive bias over the T decoder key slots: only positions <= t visible
@@ -354,14 +374,18 @@ def _decode_one_row(params, cfg: MMTConfig, cache: MMTCache,
     )
 
     new_dec_kv = []
-    n_i = s_i = 0
+    n_i = s_i = i_i = 0
     for li, layer_type in enumerate(cfg.layer_type_list):
         if layer_type == "n":
             lp = mmt_p[f"normal_layer_{n_i}"]
             n_i += 1
-        else:
+        elif layer_type == "s":
             lp = mmt_p[f"spatial_layer_{s_i}"]
             s_i += 1
+        else:
+            lp = mmt_p[f"implicit_layer_{i_i}"]
+            i_i += 1
+        h = _layer_heads(cfg, layer_type)
         ap = lp["attention_self"]
         q = _split_heads(_dense(ap["query"], x), h)       # (B,H,1,hd)
         k_row = _split_heads(_dense(ap["key"], x), h)     # (B,H,1,hd)
@@ -441,11 +465,10 @@ def _decode_one_row_beams(params, cfg: MMTConfig, cache: MMTCache,
     shared by all K beams via the query dimension (tiling enc K/V across
     beams costs K x the dominant HBM read per step; this shares it).
 
-    ``dec_kv``: per layer (k, v) of shape (B, K, H, T, hd) — per-beam
-    decoder histories (they differ across beams after reordering).
+    ``dec_kv``: per layer (k, v) of shape (B, K, H_layer, T, hd_layer) —
+    per-beam decoder histories (they differ across beams after reordering).
     """
     mmt_p = params["mmt"]
-    h = cfg.num_attention_heads
     b, kbeams, d = x.shape
     t_max = cfg.num_decoding_steps
     dec_col_bias = jnp.where(
@@ -453,14 +476,18 @@ def _decode_one_row_beams(params, cfg: MMTConfig, cache: MMTCache,
     )  # (1, 1, 1, T)
 
     new_dec_kv = []
-    n_i = s_i = 0
+    n_i = s_i = i_i = 0
     for li, layer_type in enumerate(cfg.layer_type_list):
         if layer_type == "n":
             lp = mmt_p[f"normal_layer_{n_i}"]
             n_i += 1
-        else:
+        elif layer_type == "s":
             lp = mmt_p[f"spatial_layer_{s_i}"]
             s_i += 1
+        else:
+            lp = mmt_p[f"implicit_layer_{i_i}"]
+            i_i += 1
+        h = _layer_heads(cfg, layer_type)
         ap = lp["attention_self"]
         hd = d // h
         q = _dense(ap["query"], x).reshape(b, kbeams, h, hd)
@@ -544,16 +571,18 @@ def greedy_decode_fast(model, params, batch, bos_idx: int):
     b = batch["train_prev_inds"].shape[0]
     classifier_weight = params["classifier_weight"]
     ocr_mask = batch["pad_ocr_mask"].astype(jnp.float32)
-    h = cfg.num_attention_heads
-    hd = cfg.hidden_size // h
     # decoder rows run in f32 regardless of model dtype (the row embedding
     # flows through the f32 classifier-weight layernorm, exactly like the
-    # multi-row path before it) — bf16 K/V rows upcast losslessly
+    # multi-row path before it) — bf16 K/V rows upcast losslessly.
+    # buffers are per layer: head counts differ across layer types.
     dtype = jnp.float32
-    dec_kv = tuple(
-        (jnp.zeros((b, h, t_max, hd), dtype), jnp.zeros((b, h, t_max, hd), dtype))
-        for _ in cfg.layer_type_list
-    )
+
+    def kv_buf(layer_type):
+        h = _layer_heads(cfg, layer_type)
+        shape = (b, h, t_max, cfg.hidden_size // h)
+        return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+    dec_kv = tuple(kv_buf(lt) for lt in cfg.layer_type_list)
 
     def step(carry, t):
         token, dec_kv = carry
@@ -606,15 +635,13 @@ def beam_search_decode_fast(
     # dominant per-step HBM read (12 layers of enc K/V) is paid once
     ocr_mask = batch["pad_ocr_mask"].astype(jnp.float32)
     classifier_weight = params["classifier_weight"]
-    h = cfg.num_attention_heads
-    hd = cfg.hidden_size // h
-    dec_kv0 = tuple(
-        (
-            jnp.zeros((b, k, h, t_max, hd), jnp.float32),
-            jnp.zeros((b, k, h, t_max, hd), jnp.float32),
-        )
-        for _ in cfg.layer_type_list
-    )
+
+    def kv_buf(layer_type):
+        h = _layer_heads(cfg, layer_type)
+        shape = (b, k, h, t_max, cfg.hidden_size // h)
+        return jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)
+
+    dec_kv0 = tuple(kv_buf(lt) for lt in cfg.layer_type_list)
 
     seqs = jnp.zeros((b, k, t_max), dtype=jnp.int32).at[:, :, 0].set(bos_idx)
     beam_scores = jnp.zeros((b, k), dtype=jnp.float32)

@@ -103,3 +103,71 @@ def test_fast_greedy_bf16_agreement(tiny):
     s_fast, p_fast = greedy_decode_fast(model16, params, batch, bos_idx=BOS)
     agree = float(np.mean(np.asarray(p_fast) == np.asarray(p_ref)))
     assert agree >= 0.9, agree
+
+
+@pytest.fixture(scope="module")
+def tiny_implicit():
+    """Config with an implicit ('i') layer: extra always-on heads, per-layer
+    head counts (n: 4 heads, s: 12, i: 12 + 4 = 16) — reference
+    sa_m4c.py:487-495."""
+    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 1}})
+    mmt = dataclasses.replace(
+        cfg.mmt, hidden_size=48, intermediate_size=96, ptr_query_size=48,
+        max_obj_num=8, max_ocr_num=6, num_decoding_steps=4, max_seq_length=6,
+        layer_type_list=("n", "s", "i"),
+        mix_list=("none", "share3", "share3"),
+        num_attention_heads=4, num_spatial_relations=12,
+        num_implicit_relations=4,
+    )
+    tb = dataclasses.replace(
+        cfg.text_bert, hidden_size=48, intermediate_size=96, num_attention_heads=4
+    )
+    task = dataclasses.replace(
+        cfg, mmt=mmt, text_bert=tb, mix_list=mmt.mix_list
+    )
+    model = SAM4C(params_cfg=SAM4CParams(mmt, tb, NUM_ANSWERS))
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in device_batch(make_batch(task, 3, num_answers_vocab=NUM_ANSWERS)).items()
+    }
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    return task, model, batch, params
+
+
+def test_fast_greedy_matches_scan_implicit(tiny_implicit):
+    task, model, batch, params = tiny_implicit
+    s_ref, p_ref = greedy_decode(model, params, batch, bos_idx=BOS)
+    s_fast, p_fast = greedy_decode_fast(model, params, batch, bos_idx=BOS)
+    np.testing.assert_array_equal(np.asarray(p_fast), np.asarray(p_ref))
+    np.testing.assert_allclose(
+        np.asarray(s_fast), np.asarray(s_ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_fast_beam_matches_slow_beam_implicit(tiny_implicit):
+    task, model, batch, params = tiny_implicit
+    seqs_s, scores_s = beam_search_decode(model, params, batch, 2, BOS, EOS)
+    seqs_f, scores_f = beam_search_decode_fast(model, params, batch, 2, BOS, EOS)
+    np.testing.assert_array_equal(np.asarray(seqs_f), np.asarray(seqs_s))
+    np.testing.assert_allclose(
+        np.asarray(scores_f), np.asarray(scores_s), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_evaluator_uses_fast_path_for_implicit():
+    """Implicit layers no longer force the slow scan decoder."""
+    from sam_textvqa_tpu.data.vocab import VocabDict
+    from sam_textvqa_tpu.evaluation.evaluator import Evaluator
+
+    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {}})
+    mmt = dataclasses.replace(
+        cfg.mmt, layer_type_list=("n", "s", "i"),
+        mix_list=("none", "share3", "share3"), num_implicit_relations=4,
+    )
+    model = SAM4C(params_cfg=SAM4CParams(mmt, cfg.text_bert, NUM_ANSWERS))
+    vocab = VocabDict(["<pad>", "<s>", "</s>", "<unk>"] + [f"w{i}" for i in range(26)])
+    assert Evaluator(model, vocab).fast_decode
+    # decoder-row quadrant masking still falls back
+    mmt_q = dataclasses.replace(mmt, attention_mask_quadrants=(1, 2, 7))
+    model_q = SAM4C(params_cfg=SAM4CParams(mmt_q, cfg.text_bert, NUM_ANSWERS))
+    assert not Evaluator(model_q, vocab).fast_decode

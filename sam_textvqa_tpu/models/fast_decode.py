@@ -596,7 +596,13 @@ def greedy_decode_fast(model, params, batch, bos_idx: int):
         return (next_token, dec_kv), logits
 
     bos = jnp.full((b,), bos_idx, dtype=jnp.int32)
-    _, all_logits = jax.lax.scan(step, (bos, dec_kv), jnp.arange(t_max))
+    # unroll: the 12 steps are tiny, so removing the loop overhead lets XLA
+    # overlap across steps (+2.4% measured: 2741 -> 2807 samples/s on v5e;
+    # the beam variant measured SLOWER unrolled — larger per-step working
+    # set — and keeps the rolled scan)
+    _, all_logits = jax.lax.scan(
+        step, (bos, dec_kv), jnp.arange(t_max), unroll=True
+    )
     final_scores = all_logits.transpose(1, 0, 2)  # (B, T, V)
     return final_scores, jnp.argmax(final_scores, axis=-1).astype(jnp.int32)
 

@@ -29,6 +29,11 @@ def main():
     parser.add_argument("--config", required=True)
     parser.add_argument("--num_answers", type=int, required=True)
     parser.add_argument("--out", required=True)
+    parser.add_argument(
+        "--strict", action="store_true",
+        help="fail instead of warning when any model parameter has no "
+        "source in the torch checkpoint",
+    )
     args = parser.parse_args()
 
     import jax
@@ -61,7 +66,9 @@ def main():
         ).items()
     }
     params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
-    converted, missing = convert_torch_state_dict(state_dict, params)
+    converted, missing = convert_torch_state_dict(
+        state_dict, params, strict=args.strict
+    )
     if missing:
         print(f"WARNING: {len(missing)} unmapped params kept at init values:")
         for keys, src in missing[:20]:

@@ -52,6 +52,8 @@ def _flops_per_step(compiled) -> float | None:
 def main():
     import jax
 
+    if PRNG not in ("rbg", "threefry", "threefry_partitionable"):
+        raise SystemExit(f"unknown BENCH_PRNG={PRNG!r}")
     if PRNG == "rbg":
         jax.config.update("jax_default_prng_impl", "rbg")
     elif PRNG == "threefry":

@@ -568,6 +568,12 @@ def greedy_decode_fast(model, params, batch, bos_idx: int):
         batch["pad_ocr_mask"].astype(jnp.float32),
         batch["spatial_classes"],
     )
+    if any(cache.spatial_dec_masked):
+        raise NotImplementedError(
+            "quadrants 7/8/9 cut decoder rows spatially, which breaks the "
+            "encoder-cache invariant; use the scan decoder "
+            "(Evaluator._fast_supported falls back automatically)"
+        )
     b = batch["train_prev_inds"].shape[0]
     classifier_weight = params["classifier_weight"]
     ocr_mask = batch["pad_ocr_mask"].astype(jnp.float32)
@@ -636,6 +642,12 @@ def beam_search_decode_fast(
         batch["pad_ocr_mask"].astype(jnp.float32),
         batch["spatial_classes"],
     )
+    if any(cache.spatial_dec_masked):
+        raise NotImplementedError(
+            "quadrants 7/8/9 cut decoder rows spatially, which breaks the "
+            "encoder-cache invariant; use the scan decoder "
+            "(Evaluator._fast_supported falls back automatically)"
+        )
     # the encoder cache is NOT tiled across beams: all K beams of a sample
     # share it through the query dimension (_decode_one_row_beams), so the
     # dominant per-step HBM read (12 layers of enc K/V) is paid once

@@ -35,10 +35,13 @@ logger = logging.getLogger(__name__)
 
 
 def _device_view(batch: Dict) -> Dict:
+    # train_acc_mask rides in the batch for content parity with the
+    # reference's batch dict but nothing on device consumes it (see
+    # _batch_accuracy) — keep it host-side
     return {
         k: v
         for k, v in batch.items()
-        if not k.startswith("_") and k != "question_id"
+        if not k.startswith("_") and k not in ("question_id", "train_acc_mask")
     }
 
 

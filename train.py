@@ -280,11 +280,16 @@ def main():
     logger.info("training parameters: %d", n_params)
 
     # reference initializes the question encoder from bert-base-uncased
-    # (reference sa_m4c.py:75-82); only relevant when training from scratch
+    # (reference sa_m4c.py:75-82); only relevant when training from scratch.
+    # --resume only skips this when a checkpoint actually exists — a fresh
+    # run launched with --resume still needs the pretrained encoder.
+    will_resume = args.resume and os.path.exists(
+        os.path.join(save_path, "last_state")
+    )
     if (
         task_cfg.text_bert.text_bert_init_from_bert_base
         and not args.pretrained_eval
-        and not args.resume
+        and not will_resume
     ):
         src = task_cfg.text_bert.bert_base_weights
         if src and os.path.exists(src):

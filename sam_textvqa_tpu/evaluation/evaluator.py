@@ -77,19 +77,11 @@ class Evaluator:
         self.answer_vocab = answer_vocab
         self.special = answer_vocab.special_ids()
         self.metric_evaluator = METRIC_EVALUATORS[metric]()
-        self.fast_decode = fast_decode and self._fast_supported()
+        # the cached-encoder incremental path covers every config:
+        # implicit layers, per-layer head counts, and decoder-row quadrant
+        # masking (7/8/9) are all handled in models/fast_decode.py
+        self.fast_decode = fast_decode
         self._greedy = None
-
-    def _fast_supported(self) -> bool:
-        """The cached-encoder incremental path covers every shipped config
-        (including implicit layers and per-layer head counts); the only
-        fallback to the full-recompute scan is decoder-row quadrant masking
-        — quadrants 7/8/9 cut decoder rows spatially, which breaks the
-        encoder-cache invariant (see models/fast_decode.py)."""
-        cfg = self.model.params_cfg.mmt
-        if any(q in (7, 8, 9) for q in cfg.attention_mask_quadrants):
-            return False
-        return True
 
     def _greedy_fn(self):
         if self._greedy is None:

@@ -120,6 +120,39 @@ def _layer_heads(cfg: MMTConfig, layer_type: str) -> int:
     return cfg.num_spatial_relations + cfg.num_implicit_relations
 
 
+def _dec_quadrant_bias(cfg: MMTConfig, layer_type: str, quadrants):
+    """Per-head additive bias cutting decoder-ROW attention for spatial
+    heads under quadrants 7/8/9 (reference sa_m4c.py:504-549: in the 3x3
+    quadrant grid, 7 = dec rows x question cols, 8 = dec rows x obj+ocr
+    cols, 9 = dec rows x dec cols; implicit heads are never
+    quadrant-masked, matching models/spatial.py:build_spatial_allowed).
+
+    Returns ``(enc_bias, dec_bias)`` as host float32 arrays of shape
+    (H, Le) and (H, T) — 0 where attention is allowed, MASK_BIAS where a
+    quadrant cuts it. Static (trace-time) data.
+    """
+    q_len = cfg.max_seq_length
+    n_ctx = cfg.max_obj_num + cfg.max_ocr_num
+    t_max = cfg.num_decoding_steps
+    h = _layer_heads(cfg, layer_type)
+    hs = cfg.num_spatial_relations
+    spatial_head = np.arange(h) < hs  # (H,)
+    le = q_len + n_ctx
+    col = np.arange(le)
+    enc_cut = np.zeros(le, dtype=bool)
+    if 7 in quadrants:
+        enc_cut |= col < q_len
+    if 8 in quadrants:
+        enc_cut |= col >= q_len
+    dec_cut = np.full(t_max, 9 in quadrants, dtype=bool)
+    enc_bias = np.where(spatial_head[:, None] & enc_cut[None], MASK_BIAS, 0.0)
+    dec_bias = np.where(spatial_head[:, None] & dec_cut[None], MASK_BIAS, 0.0)
+    return (
+        enc_bias.astype(np.float32),
+        dec_bias.astype(np.float32),
+    )
+
+
 def build_mmt_cache(
     params: Dict,
     cfg: MMTConfig,
@@ -273,13 +306,10 @@ def decode_rows(
         k_dec = _split_heads(_dense(ap["key"], x), h)
         v_dec = _split_heads(_dense(ap["value"], x), h)
         k_enc, v_enc = cache.enc_kv[li]
-        # decoder-row bias: enc cols by padding mask, dec cols causal; a
-        # spatial layer masking quadrants 7/8/9 would cut dec rows too —
-        # not the shipped config, asserted in build_mmt_cache
-        if cache.spatial_dec_masked[li]:
-            raise NotImplementedError(
-                "quadrants 7/8/9 cut decoder rows; use the scan decoder"
-            )
+        # decoder-row bias: enc cols by padding mask, dec cols causal;
+        # spatial/implicit layers under quadrants 7/8/9 additionally cut
+        # the spatial heads' decoder rows (per-head bias via minimum,
+        # matching the reference's min mask combination, sa_m4c.py:568)
         # concat SCORES, not K/V: re-materializing the (B,H,Le,hd) encoder
         # cache per layer per step costs ~50 GB of HBM traffic per batch;
         # the score tensors are (B,H,T,*) and tiny. Math identical.
@@ -290,9 +320,16 @@ def decode_rows(
         enc_cols = jnp.broadcast_to(
             cache.enc_bias_cols, (b, 1, t_len, k_enc.shape[2])
         )
+        enc_bias_l, dec_bias_l = enc_cols, dec_bias
+        if cache.spatial_dec_masked[li]:
+            qe, qd_ = _dec_quadrant_bias(
+                cfg, layer_type, tuple(cfg.attention_mask_quadrants)
+            )
+            enc_bias_l = jnp.minimum(enc_cols, jnp.asarray(qe)[None, :, None, :])
+            dec_bias_l = jnp.minimum(dec_bias, jnp.asarray(qd_)[None, :, None, :])
         scores = jnp.concatenate(
-            [scores_enc + enc_cols.astype(scores_enc.dtype),
-             scores_dec + dec_bias.astype(scores_dec.dtype)], axis=-1
+            [scores_enc + enc_bias_l.astype(scores_enc.dtype),
+             scores_dec + dec_bias_l.astype(scores_dec.dtype)], axis=-1
         )
         probs = jax.nn.softmax(
             scores.astype(jnp.float32), axis=-1
@@ -302,8 +339,8 @@ def decode_rows(
         # parity with the full forward (reference sa_m4c.py:574-584)
         if layer_type in ("s", "i"):
             full_bias = jnp.concatenate(
-                [jnp.broadcast_to(enc_cols, scores_enc.shape),
-                 jnp.broadcast_to(dec_bias, scores_dec.shape)], axis=-1
+                [jnp.broadcast_to(enc_bias_l, scores_enc.shape),
+                 jnp.broadcast_to(dec_bias_l, scores_dec.shape)], axis=-1
             )
             row_alive = (
                 jnp.max(full_bias, axis=-1, keepdims=True) + (-MASK_BIAS)
@@ -403,15 +440,34 @@ def _decode_one_row(params, cfg: MMTConfig, cache: MMTCache,
         scale = jnp.asarray(1.0 / np.sqrt(hd), q.dtype)
         scores_enc = jnp.einsum("bhqd,bhkd->bhqk", q, k_enc) * scale
         scores_dec = jnp.einsum("bhqd,bhkd->bhqk", q, k_buf) * scale
+        enc_bias_l, dec_bias_l = cache.enc_bias_cols, dec_col_bias
+        if cache.spatial_dec_masked[li]:
+            # quadrants 7/8/9 cut the spatial heads' decoder rows
+            qe, qd_ = _dec_quadrant_bias(
+                cfg, layer_type, tuple(cfg.attention_mask_quadrants)
+            )
+            enc_bias_l = jnp.minimum(enc_bias_l, jnp.asarray(qe)[None, :, None, :])
+            dec_bias_l = jnp.minimum(dec_bias_l, jnp.asarray(qd_)[None, :, None, :])
         scores = jnp.concatenate(
-            [scores_enc + cache.enc_bias_cols.astype(scores_enc.dtype),
-             scores_dec + dec_col_bias.astype(scores_dec.dtype)], axis=-1
+            [scores_enc + enc_bias_l.astype(scores_enc.dtype),
+             scores_dec + dec_bias_l.astype(scores_dec.dtype)], axis=-1
         )
         probs = jax.nn.softmax(
             scores.astype(jnp.float32), axis=-1
         ).astype(q.dtype)
-        # no fully-masked-row zeroing needed: a decoder row always sees its
-        # own (bias-0) position, so the row is never fully masked
+        # without decoder-row quadrant masking a decoder row always sees its
+        # own (bias-0) position, so no zeroing is needed; under quadrants
+        # 7/8/9 a spatial head's row CAN be fully masked — replicate the
+        # reference's fully-masked-row zeroing (sa_m4c.py:574-584)
+        if cache.spatial_dec_masked[li]:
+            full_bias = jnp.concatenate(
+                [jnp.broadcast_to(enc_bias_l, scores_enc.shape),
+                 jnp.broadcast_to(dec_bias_l, scores_dec.shape)], axis=-1
+            )
+            row_alive = (
+                jnp.max(full_bias, axis=-1, keepdims=True) + (-MASK_BIAS)
+            ) / (-MASK_BIAS)
+            probs = probs * row_alive.astype(probs.dtype)
         le = k_enc.shape[2]
         ctx = jnp.einsum(
             "bhqk,bhkd->bhqd", probs[..., :le], v_enc
@@ -507,13 +563,35 @@ def _decode_one_row_beams(params, cfg: MMTConfig, cache: MMTCache,
         scores_enc = jnp.einsum("bkhd,bhld->bkhl", q, k_enc) * scale
         scores_dec = jnp.einsum("bkhd,bkhtd->bkht", q, k_buf) * scale
         # enc_bias_cols: (B, 1, 1, Le) -> broadcast over (K, H)
+        enc_bias_l, dec_bias_l = cache.enc_bias_cols, dec_col_bias
+        if cache.spatial_dec_masked[li]:
+            # quadrants 7/8/9 cut the spatial heads' decoder rows
+            qe, qd_ = _dec_quadrant_bias(
+                cfg, layer_type, tuple(cfg.attention_mask_quadrants)
+            )
+            enc_bias_l = jnp.minimum(
+                enc_bias_l, jnp.asarray(qe)[None, None, :, :]
+            )
+            dec_bias_l = jnp.minimum(
+                dec_bias_l, jnp.asarray(qd_)[None, None, :, :]
+            )
         scores = jnp.concatenate(
-            [scores_enc + cache.enc_bias_cols.astype(scores_enc.dtype),
-             scores_dec + dec_col_bias.astype(scores_dec.dtype)], axis=-1
+            [scores_enc + enc_bias_l.astype(scores_enc.dtype),
+             scores_dec + dec_bias_l.astype(scores_dec.dtype)], axis=-1
         )
         probs = jax.nn.softmax(
             scores.astype(jnp.float32), axis=-1
         ).astype(q.dtype)
+        if cache.spatial_dec_masked[li]:
+            # fully-masked spatial-head rows get zeroed (sa_m4c.py:574-584)
+            full_bias = jnp.concatenate(
+                [jnp.broadcast_to(enc_bias_l, scores_enc.shape),
+                 jnp.broadcast_to(dec_bias_l, scores_dec.shape)], axis=-1
+            )
+            row_alive = (
+                jnp.max(full_bias, axis=-1, keepdims=True) + (-MASK_BIAS)
+            ) / (-MASK_BIAS)
+            probs = probs * row_alive.astype(probs.dtype)
         le = k_enc.shape[2]
         ctx = jnp.einsum(
             "bkhl,bhld->bkhd", probs[..., :le], v_enc
@@ -568,12 +646,6 @@ def greedy_decode_fast(model, params, batch, bos_idx: int):
         batch["pad_ocr_mask"].astype(jnp.float32),
         batch["spatial_classes"],
     )
-    if any(cache.spatial_dec_masked):
-        raise NotImplementedError(
-            "quadrants 7/8/9 cut decoder rows spatially, which breaks the "
-            "encoder-cache invariant; use the scan decoder "
-            "(Evaluator._fast_supported falls back automatically)"
-        )
     b = batch["train_prev_inds"].shape[0]
     classifier_weight = params["classifier_weight"]
     ocr_mask = batch["pad_ocr_mask"].astype(jnp.float32)
@@ -642,12 +714,6 @@ def beam_search_decode_fast(
         batch["pad_ocr_mask"].astype(jnp.float32),
         batch["spatial_classes"],
     )
-    if any(cache.spatial_dec_masked):
-        raise NotImplementedError(
-            "quadrants 7/8/9 cut decoder rows spatially, which breaks the "
-            "encoder-cache invariant; use the scan decoder "
-            "(Evaluator._fast_supported falls back automatically)"
-        )
     # the encoder cache is NOT tiled across beams: all K beams of a sample
     # share it through the query dimension (_decode_one_row_beams), so the
     # dominant per-step HBM read (12 layers of enc K/V) is paid once

@@ -167,7 +167,102 @@ def test_evaluator_uses_fast_path_for_implicit():
     model = SAM4C(params_cfg=SAM4CParams(mmt, cfg.text_bert, NUM_ANSWERS))
     vocab = VocabDict(["<pad>", "<s>", "</s>", "<unk>"] + [f"w{i}" for i in range(26)])
     assert Evaluator(model, vocab).fast_decode
-    # decoder-row quadrant masking still falls back
+    # decoder-row quadrant masking (7/8/9) is handled too — no fallback left
     mmt_q = dataclasses.replace(mmt, attention_mask_quadrants=(1, 2, 7))
     model_q = SAM4C(params_cfg=SAM4CParams(mmt_q, cfg.text_bert, NUM_ANSWERS))
-    assert not Evaluator(model_q, vocab).fast_decode
+    assert Evaluator(model_q, vocab).fast_decode
+
+
+def _build_quadrant_model(quadrants, implicit=False):
+    """Tiny model with decoder-row quadrant masking (and optionally an
+    implicit layer, whose extra heads must stay UNmasked)."""
+    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 1}})
+    kw = dict(
+        hidden_size=48, intermediate_size=96, ptr_query_size=48,
+        max_obj_num=8, max_ocr_num=6, num_decoding_steps=4, max_seq_length=6,
+        attention_mask_quadrants=tuple(quadrants),
+    )
+    if implicit:
+        kw.update(
+            layer_type_list=("n", "s", "i"),
+            mix_list=("none", "share3", "share3"),
+            num_attention_heads=4, num_spatial_relations=12,
+            num_implicit_relations=4,
+        )
+    mmt = dataclasses.replace(cfg.mmt, **kw)
+    tb = dataclasses.replace(
+        cfg.text_bert, hidden_size=48, intermediate_size=96, num_attention_heads=4
+    )
+    task = dataclasses.replace(cfg, mmt=mmt, text_bert=tb, mix_list=mmt.mix_list)
+    model = SAM4C(params_cfg=SAM4CParams(mmt, tb, NUM_ANSWERS))
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in device_batch(
+            make_batch(task, 3, num_answers_vocab=NUM_ANSWERS)
+        ).items()
+    }
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    return task, model, batch, params
+
+
+@pytest.mark.parametrize(
+    "quadrants,implicit",
+    [
+        ((1, 2, 7), False),          # dec rows x question cols cut
+        ((1, 2, 9), False),          # dec rows x dec cols cut
+        ((1, 2, 7, 8, 9), False),    # spatial-head dec rows fully masked
+        ((1, 2, 8, 9), True),        # implicit heads must stay unmasked
+    ],
+)
+def test_fast_greedy_matches_scan_dec_quadrants(quadrants, implicit):
+    """Quadrants 7/8/9 cut decoder rows for spatial heads (reference
+    sa_m4c.py:504-549); the incremental decoder must match the
+    full-recompute scan exactly, including the fully-masked-row zeroing
+    when all three decoder quadrants are cut."""
+    task, model, batch, params = _build_quadrant_model(quadrants, implicit)
+    s_ref, p_ref = greedy_decode(model, params, batch, bos_idx=BOS)
+    s_fast, p_fast = greedy_decode_fast(model, params, batch, bos_idx=BOS)
+    np.testing.assert_array_equal(np.asarray(p_fast), np.asarray(p_ref))
+    np.testing.assert_allclose(
+        np.asarray(s_fast), np.asarray(s_ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_fast_beam_matches_slow_beam_dec_quadrants():
+    task, model, batch, params = _build_quadrant_model((1, 2, 7, 9), implicit=True)
+    seqs_s, scores_s = beam_search_decode(model, params, batch, 2, BOS, EOS)
+    seqs_f, scores_f = beam_search_decode_fast(model, params, batch, 2, BOS, EOS)
+    np.testing.assert_array_equal(np.asarray(seqs_f), np.asarray(seqs_s))
+    np.testing.assert_allclose(
+        np.asarray(scores_f), np.asarray(scores_s), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_decode_rows_matches_model_dec_quadrants():
+    """Teacher-forced multi-row decode under decoder-row quadrant cuts."""
+    from sam_textvqa_tpu.models.fast_decode import build_mmt_cache, decode_rows
+
+    task, model, batch, params = _build_quadrant_model((1, 2, 7, 8, 9), False)
+    cfg = task.mmt
+    out = model.apply({"params": params}, batch, deterministic=True)
+    enc = model.apply({"params": params}, batch, method=SAM4C.encode,
+                      deterministic=True)
+    cache = build_mmt_cache(
+        params, cfg,
+        enc["text_bert_emb"].astype(jnp.float32),
+        enc["obj_mmt_in"].astype(jnp.float32),
+        enc["ocr_mmt_in"].astype(jnp.float32),
+        batch["question_mask"].astype(jnp.float32),
+        batch["pad_obj_mask"].astype(jnp.float32),
+        batch["pad_ocr_mask"].astype(jnp.float32),
+        batch["spatial_classes"],
+    )
+    assert any(cache.spatial_dec_masked)
+    scores = decode_rows(
+        params, cfg, cache, params["classifier_weight"],
+        batch["train_prev_inds"],
+        batch["pad_ocr_mask"].astype(jnp.float32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(out["scores"]), rtol=2e-5, atol=2e-5
+    )

@@ -42,6 +42,21 @@ def _dense(p, x):
     )
 
 
+def _qkv_fused(ap, x):
+    """One (D, 3D) matmul for the Q/K/V projections. Three separate (D, D)
+    dots cost 3x the dispatch overhead per decode step; the trace-time
+    weight concat is params-only and CSE'd across unrolled steps."""
+    w = jnp.concatenate(
+        [ap["query"]["weight"], ap["key"]["weight"], ap["value"]["weight"]],
+        axis=0,
+    )  # (3D, D) torch layout
+    b = jnp.concatenate(
+        [ap["query"]["bias"], ap["key"]["bias"], ap["value"]["bias"]]
+    )
+    qkv = jnp.matmul(x, w.T.astype(x.dtype)) + b.astype(x.dtype)
+    return jnp.split(qkv, 3, axis=-1)
+
+
 def _layernorm(p, x, eps=1e-12):
     xf = x.astype(jnp.float32)
     u = xf.mean(-1, keepdims=True)
@@ -370,14 +385,23 @@ def decode_rows(
     return jnp.concatenate([fixed, dyn], axis=-1)
 
 
-def _dec_row_embedding(params, cfg: MMTConfig, classifier_weight, ocr_mmt_in,
-                       token, t):
+def _prev_pred_tables(params, classifier_weight, ocr_mmt_in):
+    """The step-invariant PrevPredEmbeddings tables: layernormed answer and
+    OCR embeddings (reference sa_m4c.py:919-948). Hoisted out of the decode
+    loop — recomputing the (vocab, D) layernorm per step costs ~15 MB of
+    HBM churn x 12 steps for identical results (matters in the ROLLED beam
+    scan, where XLA cannot CSE across iterations)."""
+    pp = params["mmt"]["prev_pred_embeddings"]
+    ans_emb = _layernorm(pp["ans_layer_norm"], classifier_weight)
+    ocr_emb = _layernorm(pp["ocr_layer_norm"], ocr_mmt_in).astype(ans_emb.dtype)
+    return ans_emb, ocr_emb
+
+
+def _dec_row_embedding(params, cfg: MMTConfig, tables, ans_num, token, t):
     """PrevPredEmbeddings for ONE decoder row at position ``t``
     (reference sa_m4c.py:900-948, restricted to a single step)."""
     pp = params["mmt"]["prev_pred_embeddings"]
-    ans_num = classifier_weight.shape[0]
-    ans_emb = _layernorm(pp["ans_layer_norm"], classifier_weight)
-    ocr_emb = _layernorm(pp["ocr_layer_norm"], ocr_mmt_in).astype(ans_emb.dtype)
+    ans_emb, ocr_emb = tables
     prev = token.astype(jnp.int32)  # (B,)
     is_vocab = prev < ans_num
     from_vocab = jnp.take(ans_emb, jnp.where(is_vocab, prev, 0), axis=0)
@@ -424,9 +448,10 @@ def _decode_one_row(params, cfg: MMTConfig, cache: MMTCache,
             i_i += 1
         h = _layer_heads(cfg, layer_type)
         ap = lp["attention_self"]
-        q = _split_heads(_dense(ap["query"], x), h)       # (B,H,1,hd)
-        k_row = _split_heads(_dense(ap["key"], x), h)     # (B,H,1,hd)
-        v_row = _split_heads(_dense(ap["value"], x), h)
+        q_p, k_p, v_p = _qkv_fused(ap, x)
+        q = _split_heads(q_p, h)       # (B,H,1,hd)
+        k_row = _split_heads(k_p, h)   # (B,H,1,hd)
+        v_row = _split_heads(v_p, h)
         k_buf, v_buf = dec_kv[li]
         k_buf = jax.lax.dynamic_update_slice_in_dim(
             k_buf, k_row.astype(k_buf.dtype), t, axis=2
@@ -491,14 +516,12 @@ def _decode_one_row(params, cfg: MMTConfig, cache: MMTCache,
     return jnp.concatenate([fixed, dyn], axis=-1)[:, 0], tuple(new_dec_kv)
 
 
-def _dec_row_embedding_beams(params, cfg: MMTConfig, classifier_weight,
-                             ocr_mmt_in, tokens, t):
+def _dec_row_embedding_beams(params, cfg: MMTConfig, tables, ans_num,
+                             tokens, t):
     """(B, K) prev tokens -> (B, K, D) row embeddings at position ``t``,
     gathering OCR embeddings from the UNTILED (B, OCR, D) encoder output."""
     pp = params["mmt"]["prev_pred_embeddings"]
-    ans_num = classifier_weight.shape[0]
-    ans_emb = _layernorm(pp["ans_layer_norm"], classifier_weight)
-    ocr_emb = _layernorm(pp["ocr_layer_norm"], ocr_mmt_in).astype(ans_emb.dtype)
+    ans_emb, ocr_emb = tables
     prev = tokens.astype(jnp.int32)  # (B, K)
     is_vocab = prev < ans_num
     from_vocab = jnp.take(ans_emb, jnp.where(is_vocab, prev, 0), axis=0)
@@ -546,9 +569,10 @@ def _decode_one_row_beams(params, cfg: MMTConfig, cache: MMTCache,
         h = _layer_heads(cfg, layer_type)
         ap = lp["attention_self"]
         hd = d // h
-        q = _dense(ap["query"], x).reshape(b, kbeams, h, hd)
-        k_row = _dense(ap["key"], x).reshape(b, kbeams, h, 1, hd)
-        v_row = _dense(ap["value"], x).reshape(b, kbeams, h, 1, hd)
+        q_p, k_p, v_p = _qkv_fused(ap, x)
+        q = q_p.reshape(b, kbeams, h, hd)
+        k_row = k_p.reshape(b, kbeams, h, 1, hd)
+        v_row = v_p.reshape(b, kbeams, h, 1, hd)
         k_buf, v_buf = dec_kv[li]
         k_buf = jax.lax.dynamic_update_slice_in_dim(
             k_buf, k_row.astype(k_buf.dtype), t, axis=3
@@ -649,11 +673,14 @@ def greedy_decode_fast(model, params, batch, bos_idx: int):
     b = batch["train_prev_inds"].shape[0]
     classifier_weight = params["classifier_weight"]
     ocr_mask = batch["pad_ocr_mask"].astype(jnp.float32)
-    # decoder rows run in f32 regardless of model dtype (the row embedding
-    # flows through the f32 classifier-weight layernorm, exactly like the
-    # multi-row path before it) — bf16 K/V rows upcast losslessly.
+    # decoder rows run in the MODEL dtype (bf16 in production): the weight
+    # reads of the 12 tiny sequential steps dominate eval time, and the
+    # parity bar vs the bf16 full forward is argmax agreement (the f32
+    # tests run the whole model in f32, where this path is exact).
     # buffers are per layer: head counts differ across layer types.
-    dtype = jnp.float32
+    dtype = model.dtype
+    tables = _prev_pred_tables(params, classifier_weight, cache.ocr_mmt_in)
+    ans_num = classifier_weight.shape[0]
 
     def kv_buf(layer_type):
         h = _layer_heads(cfg, layer_type)
@@ -665,8 +692,8 @@ def greedy_decode_fast(model, params, batch, bos_idx: int):
     def step(carry, t):
         token, dec_kv = carry
         x = _dec_row_embedding(
-            params, cfg, classifier_weight, cache.ocr_mmt_in, token, t
-        )
+            params, cfg, tables, ans_num, token, t
+        ).astype(dtype)
         logits, dec_kv = _decode_one_row(
             params, cfg, cache, classifier_weight, ocr_mask, x, dec_kv, t
         )
@@ -719,11 +746,14 @@ def beam_search_decode_fast(
     # dominant per-step HBM read (12 layers of enc K/V) is paid once
     ocr_mask = batch["pad_ocr_mask"].astype(jnp.float32)
     classifier_weight = params["classifier_weight"]
+    dtype = model.dtype
+    tables = _prev_pred_tables(params, classifier_weight, cache.ocr_mmt_in)
+    ans_num = classifier_weight.shape[0]
 
     def kv_buf(layer_type):
         h = _layer_heads(cfg, layer_type)
         shape = (b, k, h, t_max, cfg.hidden_size // h)
-        return jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)
+        return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
     dec_kv0 = tuple(kv_buf(lt) for lt in cfg.layer_type_list)
 
@@ -745,8 +775,8 @@ def beam_search_decode_fast(
             seqs, t, axis=2, keepdims=False
         )  # (B, K)
         x = _dec_row_embedding_beams(
-            params, cfg, classifier_weight, cache.ocr_mmt_in, tokens, t
-        )
+            params, cfg, tables, ans_num, tokens, t
+        ).astype(dtype)
         logits, dec_kv = _decode_one_row_beams(
             params, cfg, cache, classifier_weight, ocr_mask, x, dec_kv, t
         )

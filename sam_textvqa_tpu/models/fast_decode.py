@@ -106,6 +106,9 @@ class MMTCache(NamedTuple):
     enc_bias_cols: jnp.ndarray  # (B, 1, 1, Le) additive bias for enc keys
     ocr_mmt_in: jnp.ndarray
     spatial_dec_masked: Tuple[bool, ...]  # per layer: dec rows spatially cut
+    # head-FLAT (B, Le, D) encoder K/V per layer for the fused pallas decode
+    # kernel (ops/decode_attention.py); () unless built with store_flat
+    enc_kv_flat: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...] = ()
 
 
 def _enc_spatial_bias(classes, lut, col_bias, q_len, n_ctx, quadrants, h,
@@ -178,8 +181,14 @@ def build_mmt_cache(
     obj_mask,
     ocr_mask,
     spatial_classes,
+    store_flat: bool = False,
 ) -> MMTCache:
-    """Phase 1: one pass of the MMT layers over the encoder tokens."""
+    """Phase 1: one pass of the MMT layers over the encoder tokens.
+
+    ``store_flat`` additionally keeps each layer's K/V in head-flat
+    (B, Le, D) layout for the fused pallas decode kernel (the (B, H, Le,
+    hd=64) layout pads the 64-lane head dim to 128 in HBM — flat blocks
+    slice into (B, Le, 128) tiles with no padding waste)."""
     mmt_p = params["mmt"]
     q_len = cfg.max_seq_length
     n_ctx = spatial_classes.shape[-1]
@@ -209,6 +218,7 @@ def build_mmt_cache(
         return spatial_bias[cache_key]
 
     enc_kv: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
+    enc_kv_flat: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
     dec_spatial_cut = []
     n_i = s_i = i_i = 0
     for layer_type, mix in zip(cfg.layer_type_list, cfg.mix_list):
@@ -231,10 +241,14 @@ def build_mmt_cache(
             zero_rows = True
         h = _layer_heads(cfg, layer_type)
         ap = lp["attention_self"]
+        k_flat = _dense(ap["key"], x)
+        v_flat = _dense(ap["value"], x)
         q = _split_heads(_dense(ap["query"], x), h)
-        k = _split_heads(_dense(ap["key"], x), h)
-        v = _split_heads(_dense(ap["value"], x), h)
+        k = _split_heads(k_flat, h)
+        v = _split_heads(v_flat, h)
         enc_kv.append((k, v))
+        if store_flat:
+            enc_kv_flat.append((k_flat, v_flat))
         ctx = _merge_heads(_attention(q, k, v, bias, zero_rows))
         op = lp["attention_output"]
         attn_out = _layernorm(op["LayerNorm"], _dense(op["dense"], ctx) + x)
@@ -250,6 +264,7 @@ def build_mmt_cache(
         enc_bias_cols=col_bias,
         ocr_mmt_in=ocr_mmt_in,
         spatial_dec_masked=tuple(dec_spatial_cut),
+        enc_kv_flat=tuple(enc_kv_flat),
     )
 
 
@@ -417,8 +432,20 @@ def _dec_row_embedding(params, cfg: MMTConfig, tables, ans_num, token, t):
     return (raw + emb.astype(raw.dtype))[:, None, :]  # (B, 1, D)
 
 
+def _ptr_keys(params, cfg: MMTConfig, cache: MMTCache, ocr_mask, dtype):
+    """Step-invariant OCR pointer-net inputs: the key projection of the
+    cached OCR outputs and the additive OCR padding bias (reference
+    OcrPtrNet, sa_m4c.py:866-897 — only the query side depends on the
+    decode step). Hoisted out of the decode loop."""
+    ocr_begin = cfg.max_seq_length + cfg.max_obj_num
+    ocr_out = cache.enc_out[:, ocr_begin : ocr_begin + cfg.max_ocr_num]
+    kd = _dense(params["ocr_ptr_net"]["key"], ocr_out.astype(dtype))
+    ocr_bias = ((1.0 - ocr_mask) * MASK_BIAS).astype(dtype)
+    return kd, ocr_bias
+
+
 def _decode_one_row(params, cfg: MMTConfig, cache: MMTCache,
-                    classifier_weight, ocr_mask, x, dec_kv, t):
+                    classifier_weight, ptr_keys, x, dec_kv, t):
     """One decoder row (B,1,D) through all layers against cached encoder K/V
     plus the growing decoder K/V buffers; returns (logits, new dec_kv).
 
@@ -502,18 +529,130 @@ def _decode_one_row(params, cfg: MMTConfig, cache: MMTCache,
         attn_out = _layernorm(op["LayerNorm"], _dense(op["dense"], ctx) + x)
         x = _ffn(lp, attn_out, attn_out)
 
-    ocr_begin = cfg.max_seq_length + cfg.max_obj_num
-    ocr_out = cache.enc_out[:, ocr_begin : ocr_begin + cfg.max_ocr_num]
     fixed = jnp.matmul(x, classifier_weight.T.astype(x.dtype)) + params[
         "classifier_bias"
     ].astype(x.dtype)
     pn = params["ocr_ptr_net"]
     qd = _dense(pn["query"], x)
-    kd = _dense(pn["key"], ocr_out)
+    kd, ocr_bias = ptr_keys  # step-invariant, hoisted out of the loop
     dk = qd.shape[-1]
     dyn = jnp.einsum("btd,bkd->btk", qd, kd) / jnp.asarray(np.sqrt(dk), x.dtype)
-    dyn = dyn + (((1.0 - ocr_mask) * MASK_BIAS)[:, None, :]).astype(x.dtype)
+    dyn = dyn + ocr_bias[:, None, :].astype(x.dtype)
     return jnp.concatenate([fixed, dyn], axis=-1)[:, 0], tuple(new_dec_kv)
+
+
+def _fused_supported(cfg: MMTConfig, cache: MMTCache) -> bool:
+    """The pallas decode kernel covers hd | 128 head layouts and no
+    decoder-row quadrant masking; anything else falls back to the XLA
+    one-row path (identical outputs either way)."""
+    d = cfg.hidden_size
+    if d % 128 != 0 or any(cache.spatial_dec_masked):
+        return False
+    if not cache.enc_kv_flat:
+        return False
+    for lt in cfg.layer_type_list:
+        h = _layer_heads(cfg, lt)
+        if d % h != 0 or 128 % (d // h) != 0:
+            return False
+    return True
+
+
+def _fused_step_consts(params, cfg: MMTConfig, cache: MMTCache, dtype):
+    """Step-invariant tensors for the fused decode loop, computed ONCE
+    before the 12 steps: pre-transposed+cast fused QKV weights per layer
+    and the flat enc K/V pinned behind an optimization barrier. XLA fails
+    to CSE these across steps when pallas custom calls sit between them
+    (measured: 216 re-pads of the (2304, 768) weight concat and 54 layout
+    copies of the 16.7 MB flat K/V per decode — ~1.7 GB of HBM churn)."""
+    mmt_p = params["mmt"]
+    weights = []
+    n_i = s_i = i_i = 0
+    for layer_type in cfg.layer_type_list:
+        if layer_type == "n":
+            lp = mmt_p[f"normal_layer_{n_i}"]
+            n_i += 1
+        elif layer_type == "s":
+            lp = mmt_p[f"spatial_layer_{s_i}"]
+            s_i += 1
+        else:
+            lp = mmt_p[f"implicit_layer_{i_i}"]
+            i_i += 1
+        ap = lp["attention_self"]
+        w = jnp.concatenate(
+            [ap["query"]["weight"], ap["key"]["weight"], ap["value"]["weight"]],
+            axis=0,
+        ).T.astype(dtype)  # (D, 3D)
+        bias = jnp.concatenate(
+            [ap["query"]["bias"], ap["key"]["bias"], ap["value"]["bias"]]
+        ).astype(dtype)
+        weights.append((w, bias, lp))
+    kv_flat = jax.lax.optimization_barrier(
+        tuple((k.astype(dtype), v.astype(dtype)) for k, v in cache.enc_kv_flat)
+    )
+    return weights, kv_flat
+
+
+def _decode_one_row_fused(params, cfg: MMTConfig, step_consts,
+                          classifier_weight, ptr_keys, seg_lens, x, dec_kv,
+                          t, interpret):
+    """One decoder row through all layers with the fused pallas attention
+    (ops/decode_attention.py). ``x``: (B, D) head-flat; ``dec_kv``: per
+    layer (k, v) of shape (B, T, D) head-flat. Math identical to
+    :func:`_decode_one_row` (verified in tests/test_decode_attention.py)."""
+    from ..ops.decode_attention import decode_attention
+
+    weights, kv_flat = step_consts
+    d = cfg.hidden_size
+    q_len = cfg.max_seq_length
+
+    new_dec_kv = []
+    for li, layer_type in enumerate(cfg.layer_type_list):
+        w_qkv, b_qkv, lp = weights[li]
+        h = _layer_heads(cfg, layer_type)
+        qkv = jnp.matmul(x, w_qkv) + b_qkv
+        q_p, k_p, v_p = jnp.split(qkv, 3, axis=-1)  # (B, D), head-flat
+        k_buf, v_buf = dec_kv[li]
+        k_buf = k_buf.at[:, t].set(k_p.astype(k_buf.dtype))
+        v_buf = v_buf.at[:, t].set(v_p.astype(v_buf.dtype))
+        new_dec_kv.append((k_buf, v_buf))
+        k_enc, v_enc = kv_flat[li]
+        ctx = decode_attention(
+            q_p, k_enc, v_enc, k_buf, v_buf,
+            seg_lens,
+            hd=d // h, t=t, q_len=q_len, n_obj=cfg.max_obj_num,
+            n_ocr=cfg.max_ocr_num, interpret=interpret,
+        )
+        op = lp["attention_output"]
+        attn_out = _layernorm(op["LayerNorm"], _dense(op["dense"], ctx) + x)
+        x = _ffn(lp, attn_out, attn_out)
+
+    x = x[:, None, :]  # (B, 1, D) for the shared output head
+    fixed = jnp.matmul(x, classifier_weight.T.astype(x.dtype)) + params[
+        "classifier_bias"
+    ].astype(x.dtype)
+    pn = params["ocr_ptr_net"]
+    qd = _dense(pn["query"], x)
+    kd, ocr_bias = ptr_keys
+    dk = qd.shape[-1]
+    dyn = jnp.einsum("btd,bkd->btk", qd, kd) / jnp.asarray(np.sqrt(dk), x.dtype)
+    dyn = dyn + ocr_bias[:, None, :].astype(x.dtype)
+    return jnp.concatenate([fixed, dyn], axis=-1)[:, 0], tuple(new_dec_kv)
+
+
+def _seg_lens(batch):
+    """(B, 128) f32 — per-sample valid counts of the question / obj / OCR
+    segments (the padding masks are prefix-contiguous by construction in
+    the data pipeline), consumed by the pallas decode kernel."""
+    b = batch["question_mask"].shape[0]
+    lens = jnp.stack(
+        [
+            batch["question_mask"].astype(jnp.float32).sum(-1),
+            batch["pad_obj_mask"].astype(jnp.float32).sum(-1),
+            batch["pad_ocr_mask"].astype(jnp.float32).sum(-1),
+        ],
+        axis=1,
+    )
+    return jnp.zeros((b, 128), jnp.float32).at[:, :3].set(lens)
 
 
 def _dec_row_embedding_beams(params, cfg: MMTConfig, tables, ans_num,
@@ -538,7 +677,7 @@ def _dec_row_embedding_beams(params, cfg: MMTConfig, tables, ans_num,
 
 
 def _decode_one_row_beams(params, cfg: MMTConfig, cache: MMTCache,
-                          classifier_weight, ocr_mask, x, dec_kv, t):
+                          classifier_weight, ptr_keys, x, dec_kv, t):
     """Beam variant of :func:`_decode_one_row`: ``x`` is (B, K, D) — one
     decoder row per beam — and the UNTILED per-sample encoder cache is
     shared by all K beams via the query dimension (tiling enc K/V across
@@ -625,21 +764,20 @@ def _decode_one_row_beams(params, cfg: MMTConfig, cache: MMTCache,
         attn_out = _layernorm(op["LayerNorm"], _dense(op["dense"], ctx) + x)
         x = _ffn(lp, attn_out, attn_out)
 
-    ocr_begin = cfg.max_seq_length + cfg.max_obj_num
-    ocr_out = cache.enc_out[:, ocr_begin : ocr_begin + cfg.max_ocr_num]
     fixed = jnp.matmul(x, classifier_weight.T.astype(x.dtype)) + params[
         "classifier_bias"
     ].astype(x.dtype)
     pn = params["ocr_ptr_net"]
     qd = _dense(pn["query"], x)          # (B, K, dk)
-    kd = _dense(pn["key"], ocr_out)      # (B, OCR, dk)
+    kd, ocr_bias = ptr_keys             # step-invariant, hoisted (B, OCR, dk)
     dk = qd.shape[-1]
     dyn = jnp.einsum("bkd,bod->bko", qd, kd) / jnp.asarray(np.sqrt(dk), x.dtype)
-    dyn = dyn + (((1.0 - ocr_mask) * MASK_BIAS)[:, None, :]).astype(x.dtype)
+    dyn = dyn + ocr_bias[:, None, :].astype(x.dtype)
     return jnp.concatenate([fixed, dyn], axis=-1), tuple(new_dec_kv)
 
 
-def greedy_decode_fast(model, params, batch, bos_idx: int):
+def greedy_decode_fast(model, params, batch, bos_idx: int,
+                       backend: str = "auto"):
     """Greedy decode: encoder cache + true incremental decoding.
 
     Phase 1 runs the MMT once over the 170 encoder tokens (build_mmt_cache).
@@ -649,6 +787,14 @@ def greedy_decode_fast(model, params, batch, bos_idx: int):
     identical to the reference's 12 full-sequence recomputes
     (reference sa_m4c.py:285-302). ~12x less decode compute than even the
     cached-encoder multi-row variant.
+
+    ``backend``: "xla" = pure-XLA one-row steps; "fused" = pallas decode
+    attention (ops/decode_attention.py; raises if the config is
+    unsupported); "auto" currently resolves to "xla" — the per-layer
+    fused kernel measured SLOWER on v5e (2025 vs 3277 samples/s: each
+    pallas call stalls on its 33 MB enc-K/V DMA, where XLA overlaps the
+    reads across neighboring fusions; see SCALING.md). It stays as an
+    opt-in A/B baseline for the per-step megakernel.
 
     Same outputs as models.sa_m4c.greedy_decode (verified in tests).
     """
@@ -669,7 +815,14 @@ def greedy_decode_fast(model, params, batch, bos_idx: int):
         batch["pad_obj_mask"].astype(jnp.float32),
         batch["pad_ocr_mask"].astype(jnp.float32),
         batch["spatial_classes"],
+        store_flat=backend == "fused",
     )
+    use_fused = backend == "fused" and _fused_supported(cfg, cache)
+    if backend == "fused" and not use_fused:
+        raise ValueError(
+            "fused decode kernel unsupported for this config (needs "
+            "hd | 128 head layouts and no decoder-row quadrant masking)"
+        )
     b = batch["train_prev_inds"].shape[0]
     classifier_weight = params["classifier_weight"]
     ocr_mask = batch["pad_ocr_mask"].astype(jnp.float32)
@@ -681,34 +834,51 @@ def greedy_decode_fast(model, params, batch, bos_idx: int):
     dtype = model.dtype
     tables = _prev_pred_tables(params, classifier_weight, cache.ocr_mmt_in)
     ans_num = classifier_weight.shape[0]
+    ptr_keys = _ptr_keys(params, cfg, cache, ocr_mask, dtype)
+    # pallas kernels only compile for TPU; CPU (tests) runs them interpreted
+    interpret = jax.default_backend() == "cpu"
+    seg_lens = _seg_lens(batch) if use_fused else None
+    step_consts = (
+        _fused_step_consts(params, cfg, cache, dtype) if use_fused else None
+    )
 
     def kv_buf(layer_type):
-        h = _layer_heads(cfg, layer_type)
-        shape = (b, h, t_max, cfg.hidden_size // h)
+        if use_fused:
+            # head-flat buffers for the kernel (B, T, D)
+            shape = (b, t_max, cfg.hidden_size)
+        else:
+            h = _layer_heads(cfg, layer_type)
+            shape = (b, h, t_max, cfg.hidden_size // h)
         return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
     dec_kv = tuple(kv_buf(lt) for lt in cfg.layer_type_list)
 
-    def step(carry, t):
-        token, dec_kv = carry
+    # a PYTHON loop, not a scan: the 12 steps are tiny, so full unrolling
+    # lets XLA overlap across steps (+2.4% measured vs the rolled scan:
+    # 2741 -> 2807 samples/s on v5e; the beam variant measured SLOWER
+    # unrolled — larger per-step working set — and keeps the rolled scan),
+    # and a STATIC step index turns the K/V-buffer updates and the decode
+    # column masking into static-shape ops (also required by the fused
+    # pallas decode kernel).
+    token = jnp.full((b,), bos_idx, dtype=jnp.int32)
+    all_logits = []
+    for t in range(t_max):
         x = _dec_row_embedding(
             params, cfg, tables, ans_num, token, t
         ).astype(dtype)
-        logits, dec_kv = _decode_one_row(
-            params, cfg, cache, classifier_weight, ocr_mask, x, dec_kv, t
-        )
-        next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (next_token, dec_kv), logits
+        if use_fused:
+            logits, dec_kv = _decode_one_row_fused(
+                params, cfg, step_consts, classifier_weight, ptr_keys,
+                seg_lens, x[:, 0, :], dec_kv, t, interpret
+            )
+        else:
+            logits, dec_kv = _decode_one_row(
+                params, cfg, cache, classifier_weight, ptr_keys, x, dec_kv, t
+            )
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        all_logits.append(logits)
 
-    bos = jnp.full((b,), bos_idx, dtype=jnp.int32)
-    # unroll: the 12 steps are tiny, so removing the loop overhead lets XLA
-    # overlap across steps (+2.4% measured: 2741 -> 2807 samples/s on v5e;
-    # the beam variant measured SLOWER unrolled — larger per-step working
-    # set — and keeps the rolled scan)
-    _, all_logits = jax.lax.scan(
-        step, (bos, dec_kv), jnp.arange(t_max), unroll=True
-    )
-    final_scores = all_logits.transpose(1, 0, 2)  # (B, T, V)
+    final_scores = jnp.stack(all_logits, axis=1)  # (B, T, V)
     return final_scores, jnp.argmax(final_scores, axis=-1).astype(jnp.int32)
 
 
@@ -749,6 +919,7 @@ def beam_search_decode_fast(
     dtype = model.dtype
     tables = _prev_pred_tables(params, classifier_weight, cache.ocr_mmt_in)
     ans_num = classifier_weight.shape[0]
+    ptr_keys = _ptr_keys(params, cfg, cache, ocr_mask, dtype)
 
     def kv_buf(layer_type):
         h = _layer_heads(cfg, layer_type)
@@ -778,7 +949,7 @@ def beam_search_decode_fast(
             params, cfg, tables, ans_num, tokens, t
         ).astype(dtype)
         logits, dec_kv = _decode_one_row_beams(
-            params, cfg, cache, classifier_weight, ocr_mask, x, dec_kv, t
+            params, cfg, cache, classifier_weight, ptr_keys, x, dec_kv, t
         )
         v = logits.shape[-1]
         step_scores = jax.nn.log_sigmoid(

@@ -66,7 +66,11 @@ def _layernorm(p, x, eps=1e-12):
 
 
 def _gelu(x):
-    return x * 0.5 * (1.0 + jax.lax.erf(x / jnp.sqrt(2.0)))
+    # dtype-preserving like models/layers.gelu_erf: without the cast,
+    # bf16 / f32-sqrt promotes the GeLU (and the FFN output matmul fed by
+    # it) to f32 — diverging from the module forward and doubling the
+    # second FFN matmul's bandwidth on the decode path
+    return x * 0.5 * (1.0 + jax.lax.erf(x / jnp.sqrt(2.0).astype(x.dtype)))
 
 
 def _split_heads(x, h):
@@ -541,6 +545,14 @@ def _decode_one_row(params, cfg: MMTConfig, cache: MMTCache,
     return jnp.concatenate([fixed, dyn], axis=-1)[:, 0], tuple(new_dec_kv)
 
 
+def _mega_supported(cfg: MMTConfig, cache: MMTCache) -> bool:
+    """The per-step megakernel additionally needs one uniform head dim
+    across layers (single static hd for the whole grid)."""
+    if not _fused_supported(cfg, cache):
+        return False
+    return len({_layer_heads(cfg, lt) for lt in cfg.layer_type_list}) == 1
+
+
 def _fused_supported(cfg: MMTConfig, cache: MMTCache) -> bool:
     """The pallas decode kernel covers hd | 128 head layouts and no
     decoder-row quadrant masking; anything else falls back to the XLA
@@ -637,6 +649,71 @@ def _decode_one_row_fused(params, cfg: MMTConfig, step_consts,
     dyn = jnp.einsum("btd,bkd->btk", qd, kd) / jnp.asarray(np.sqrt(dk), x.dtype)
     dyn = dyn + ocr_bias[:, None, :].astype(x.dtype)
     return jnp.concatenate([fixed, dyn], axis=-1)[:, 0], tuple(new_dec_kv)
+
+
+def _output_head(params, classifier_weight, ptr_keys, x):
+    """Classifier + OCR pointer-net scores for decoder rows ``x`` (B, T, D)
+    (reference sa_m4c.py:866-897, :270-278)."""
+    fixed = jnp.matmul(x, classifier_weight.T.astype(x.dtype)) + params[
+        "classifier_bias"
+    ].astype(x.dtype)
+    pn = params["ocr_ptr_net"]
+    qd = _dense(pn["query"], x)
+    kd, ocr_bias = ptr_keys
+    dk = qd.shape[-1]
+    dyn = jnp.einsum("btd,bkd->btk", qd, kd) / jnp.asarray(np.sqrt(dk), x.dtype)
+    dyn = dyn + ocr_bias[:, None, :].astype(x.dtype)
+    return jnp.concatenate([fixed, dyn], axis=-1)
+
+
+def _mega_step_consts(params, cfg: MMTConfig, cache: MMTCache, dtype):
+    """Stacked (L, ...) weight tensors + (L, B, Le, D) enc K/V for the
+    per-step megakernel (ops/decode_step.py). Built once per decode."""
+    mmt_p = params["mmt"]
+    cols = {k: [] for k in (
+        "wqkv", "bqkv", "wout", "bout", "ln1w", "ln1b",
+        "wff1", "bff1", "wff2", "bff2", "ln2w", "ln2b",
+    )}
+    n_i = s_i = i_i = 0
+    for layer_type in cfg.layer_type_list:
+        if layer_type == "n":
+            lp = mmt_p[f"normal_layer_{n_i}"]
+            n_i += 1
+        elif layer_type == "s":
+            lp = mmt_p[f"spatial_layer_{s_i}"]
+            s_i += 1
+        else:
+            lp = mmt_p[f"implicit_layer_{i_i}"]
+            i_i += 1
+        ap = lp["attention_self"]
+        cols["wqkv"].append(jnp.concatenate(
+            [ap["query"]["weight"], ap["key"]["weight"], ap["value"]["weight"]],
+            axis=0,
+        ).T.astype(dtype))
+        cols["bqkv"].append(jnp.concatenate(
+            [ap["query"]["bias"], ap["key"]["bias"], ap["value"]["bias"]]
+        ).astype(dtype))
+        op = lp["attention_output"]
+        cols["wout"].append(op["dense"]["weight"].T.astype(dtype))
+        cols["bout"].append(op["dense"]["bias"].astype(dtype))
+        cols["ln1w"].append(op["LayerNorm"]["weight"].astype(jnp.float32))
+        cols["ln1b"].append(op["LayerNorm"]["bias"].astype(jnp.float32))
+        cols["wff1"].append(lp["intermediate_dense"]["weight"].T.astype(dtype))
+        cols["bff1"].append(lp["intermediate_dense"]["bias"].astype(dtype))
+        cols["wff2"].append(lp["output_dense"]["weight"].T.astype(dtype))
+        cols["bff2"].append(lp["output_dense"]["bias"].astype(dtype))
+        cols["ln2w"].append(lp["output_LayerNorm"]["weight"].astype(jnp.float32))
+        cols["ln2b"].append(lp["output_LayerNorm"]["bias"].astype(jnp.float32))
+    stacks = {k: jnp.stack(v) for k, v in cols.items()}
+    # 1-D per-layer vectors ride as (L, 1, X): a (1, X) block satisfies the
+    # TPU block-tiling rule (last two dims divisible by (8, 128) OR equal
+    # to the array dims)
+    for k, v in stacks.items():
+        if v.ndim == 2:
+            stacks[k] = v[:, None, :]
+    k_enc = jnp.stack([k.astype(dtype) for k, _ in cache.enc_kv_flat])
+    v_enc = jnp.stack([v.astype(dtype) for _, v in cache.enc_kv_flat])
+    return stacks, k_enc, v_enc
 
 
 def _seg_lens(batch):
@@ -815,13 +892,19 @@ def greedy_decode_fast(model, params, batch, bos_idx: int,
         batch["pad_obj_mask"].astype(jnp.float32),
         batch["pad_ocr_mask"].astype(jnp.float32),
         batch["spatial_classes"],
-        store_flat=backend == "fused",
+        store_flat=backend in ("fused", "mega"),
     )
     use_fused = backend == "fused" and _fused_supported(cfg, cache)
+    use_mega = backend == "mega" and _mega_supported(cfg, cache)
     if backend == "fused" and not use_fused:
         raise ValueError(
             "fused decode kernel unsupported for this config (needs "
             "hd | 128 head layouts and no decoder-row quadrant masking)"
+        )
+    if backend == "mega" and not use_mega:
+        raise ValueError(
+            "megakernel unsupported for this config (needs one uniform "
+            "hd | 128 head layout and no decoder-row quadrant masking)"
         )
     b = batch["train_prev_inds"].shape[0]
     classifier_weight = params["classifier_weight"]
@@ -841,6 +924,12 @@ def greedy_decode_fast(model, params, batch, bos_idx: int,
     step_consts = (
         _fused_step_consts(params, cfg, cache, dtype) if use_fused else None
     )
+
+    if use_mega:
+        return _greedy_mega(
+            model, params, batch, bos_idx, cfg, cache, classifier_weight,
+            tables, ans_num, ptr_keys, dtype, interpret
+        )
 
     def kv_buf(layer_type):
         if use_fused:
@@ -879,6 +968,51 @@ def greedy_decode_fast(model, params, batch, bos_idx: int,
         all_logits.append(logits)
 
     final_scores = jnp.stack(all_logits, axis=1)  # (B, T, V)
+    return final_scores, jnp.argmax(final_scores, axis=-1).astype(jnp.int32)
+
+
+def _greedy_mega(model, params, batch, bos_idx, cfg, cache,
+                 classifier_weight, tables, ans_num, ptr_keys, dtype,
+                 interpret):
+    """Greedy decode driven by the per-step megakernel
+    (ops/decode_step.py): one pallas call per step runs all MMT layers;
+    only the row embedding, output head, and argmax stay in XLA."""
+    from ..ops.decode_step import decode_step_fused
+
+    t_max = cfg.num_decoding_steps
+    b = batch["train_prev_inds"].shape[0]
+    d = cfg.hidden_size
+    num_layers = len(cfg.layer_type_list)
+    hd = d // _layer_heads(cfg, cfg.layer_type_list[0])
+    seg_lens = _seg_lens(batch)
+    stacks, k_enc_all, v_enc_all = _mega_step_consts(params, cfg, cache, dtype)
+    k_dec = jnp.zeros((num_layers, b, t_max, d), dtype)
+    v_dec = jnp.zeros((num_layers, b, t_max, d), dtype)
+    batch_tiles = 2 if b % 2 == 0 and b >= 16 else 1
+
+    token = jnp.full((b,), bos_idx, dtype=jnp.int32)
+    all_logits = []
+    for t in range(t_max):
+        x = _dec_row_embedding(
+            params, cfg, tables, ans_num, token, t
+        ).astype(dtype)[:, 0, :]
+        x_out, k_dec, v_dec = decode_step_fused(
+            jnp.full((1,), t, jnp.int32), seg_lens, x,
+            stacks["wqkv"], stacks["bqkv"], stacks["wout"], stacks["bout"],
+            stacks["ln1w"], stacks["ln1b"], stacks["wff1"], stacks["bff1"],
+            stacks["wff2"], stacks["bff2"], stacks["ln2w"], stacks["ln2b"],
+            k_enc_all, v_enc_all, k_dec, v_dec,
+            hd=hd, q_len=cfg.max_seq_length, n_obj=cfg.max_obj_num,
+            n_ocr=cfg.max_ocr_num, batch_tiles=batch_tiles,
+            interpret=interpret,
+        )
+        logits = _output_head(
+            params, classifier_weight, ptr_keys, x_out[:, None, :]
+        )[:, 0]
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        all_logits.append(logits)
+
+    final_scores = jnp.stack(all_logits, axis=1)
     return final_scores, jnp.argmax(final_scores, axis=-1).astype(jnp.int32)
 
 

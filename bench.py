@@ -18,8 +18,10 @@ import sys
 import time
 
 REFERENCE_SAMPLES_PER_SEC = 90.0  # 2x Titan Xp estimate, see docstring
-# batch 64 measured fastest on a single v5e chip (961 > 916 @128 > 887 @256)
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+# batch 96 (the reference's batch size) measured fastest on a single v5e
+# chip in round 2: 1443/1427 @96 > 1399-1405 @64 > 1359 @128 (round 1's
+# sweep said 64, but the mask/decode optimizations since shifted the knee)
+BATCH = int(os.environ.get("BENCH_BATCH", "96"))
 STEPS = int(os.environ.get("BENCH_STEPS", "30"))
 WARMUP = 3
 # BENCH_MODE=eval benchmarks greedy 12-step decoding (fast cached-encoder

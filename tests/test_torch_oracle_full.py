@@ -58,7 +58,12 @@ def attention(p, x, bias, heads, zero_fully_masked=False):
     if zero_fully_masked:
         alive = (bias.max(dim=-1, keepdim=True)[0] + 10000.0) / 10000.0
         probs = probs * alive
-    return torch.matmul(probs, v).permute(0, 2, 1, 3).contiguous().view(b, l, d)
+    ctx = torch.matmul(probs, v).permute(0, 2, 1, 3).contiguous().view(b, l, d)
+    if "biases" in p:
+        # learned shared output bias (reference sa_m4c.py:439-443, :600-603:
+        # self.biases(0), an Embedding(1, hidden) lookup)
+        ctx = ctx + t(p["biases"])
+    return ctx
 
 
 def bert_layer(p, x, bias, heads, zero_fully_masked=False):
@@ -71,6 +76,24 @@ def bert_layer(p, x, bias, heads, zero_fully_masked=False):
 
 def normalize(x):
     return x / x.norm(dim=-1, keepdim=True).clamp_min(1e-12)
+
+
+def simple_classifier(p, x):
+    """Linear -> GeLU -> LN -> Linear (reference SimpleClassifier,
+    sa_m4c.py:1031-1042)."""
+    return lin(p["dense1"], ln(p["ln"], gelu(lin(p["dense0"], x))))
+
+
+def torch_aux_head(p, seq, mmt_cfg):
+    """Aux spatial-relation head (reference _forward_aux,
+    sa_m4c.py:316-347): pairwise origin x dest over the obj+ocr outputs,
+    mul/add fusion, 12-way classifier."""
+    q0 = mmt_cfg.max_seq_length
+    x = seq[:, q0 : q0 + mmt_cfg.max_obj_num + mmt_cfg.max_ocr_num]
+    origin = simple_classifier(p["origin_transform"], x).unsqueeze(2)
+    dest = simple_classifier(p["dest_transform"], x).unsqueeze(1)
+    fused = origin * dest if mmt_cfg.aux_spatial_fusion == "mul" else origin + dest
+    return lin(p["spatial_classifier"], fused)
 
 
 def torch_sam4c_forward(p, batch, mmt_cfg, tb_layers=3):
@@ -172,7 +195,10 @@ def torch_sam4c_forward(p, batch, mmt_cfg, tb_layers=3):
     kv = lin(pn["key"], ocr_out)
     dyn = torch.matmul(qv, kv.transpose(-1, -2)) / math.sqrt(qv.shape[-1])
     dyn = dyn + ((1.0 - t(batch["pad_ocr_mask"])) * -10000.0).unsqueeze(1)
-    return torch.cat([fixed, dyn], dim=-1)
+    scores = torch.cat([fixed, dyn], dim=-1)
+    if mmt_cfg.use_aux_heads:
+        return scores, torch_aux_head(p, x, mmt_cfg)
+    return scores
 
 
 def test_full_model_matches_torch_oracle():
@@ -198,3 +224,48 @@ def test_full_model_matches_torch_oracle():
     p = jax.tree.map(lambda v: np.asarray(v), params)
     ref = torch_sam4c_forward(p, batch_np, mmt, tb_layers=3).numpy()
     np.testing.assert_allclose(ours, ref, rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("fusion", ["mul", "add"])
+def test_full_model_use_bias_and_aux_heads_match_torch_oracle(fusion):
+    """use_bias (learned spatial-attention output bias, reference
+    sa_m4c.py:439-443) and the aux spatial head (reference :316-347) vs
+    the torch transcription — closes the converter-coverage risk flagged
+    in round 1 (those params previously had no numerics oracle)."""
+    cfg = task_config_from_dict(
+        {"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 3}}
+    )
+    mmt = dataclasses.replace(
+        cfg.mmt, hidden_size=48, intermediate_size=96, ptr_query_size=48,
+        num_spatial_relations=H, num_attention_heads=H,
+        max_obj_num=7, max_ocr_num=5, num_decoding_steps=4, max_seq_length=6,
+        use_bias=True, use_aux_heads=True, aux_spatial_fusion=fusion,
+    )
+    tb = dataclasses.replace(
+        cfg.text_bert, hidden_size=48, intermediate_size=96, num_attention_heads=H
+    )
+    task = dataclasses.replace(cfg, mmt=mmt, text_bert=tb)
+    model = SAM4C(params_cfg=SAM4CParams(mmt, tb, NUM_ANSWERS))
+    batch_np = device_batch(make_batch(task, 2, num_answers_vocab=NUM_ANSWERS))
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    params = model.init({"params": jax.random.PRNGKey(1)}, batch)["params"]
+    out = model.apply({"params": params}, batch, deterministic=True)
+    p = jax.tree.map(lambda v: np.asarray(v), params)
+    # randomize the zero-init bias/classifier leaves so the oracle actually
+    # exercises them
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        ap = p["mmt"][f"spatial_layer_{i}"]["attention_self"]
+        ap["biases"] = (
+            ap["biases"] + rng.normal(0, 0.05, ap["biases"].shape)
+        ).astype(np.float32)
+    params2 = jax.tree.map(jnp.asarray, p)
+    out = model.apply({"params": params2}, batch, deterministic=True)
+    ref_scores, ref_aux = torch_sam4c_forward(p, batch_np, mmt, tb_layers=3)
+    np.testing.assert_allclose(
+        np.asarray(out["scores"]), ref_scores.numpy(), rtol=3e-5, atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["spatial_head_out"]), ref_aux.numpy(),
+        rtol=3e-5, atol=3e-5,
+    )

@@ -72,6 +72,7 @@ class Evaluator:
         answer_vocab: VocabDict,
         metric: str = "textvqa",
         fast_decode: bool = True,
+        decode_backend: str = "auto",
     ):
         self.model = model
         self.answer_vocab = answer_vocab
@@ -81,6 +82,9 @@ class Evaluator:
         # implicit layers, per-layer head counts, and decoder-row quadrant
         # masking (7/8/9) are all handled in models/fast_decode.py
         self.fast_decode = fast_decode
+        # "auto" (XLA one-row steps — fastest measured) or the opt-in
+        # pallas kernels "fused"/"mega" (A/B baselines; SCALING.md)
+        self.decode_backend = decode_backend
         self._greedy = None
 
     def _greedy_fn(self):
@@ -89,7 +93,15 @@ class Evaluator:
             from ..models.sa_m4c import greedy_decode
 
             bos = self.special.bos
-            decode = greedy_decode_fast if self.fast_decode else greedy_decode
+            if self.fast_decode:
+                backend = self.decode_backend
+
+                def decode(model, params, batch, bos_idx):
+                    return greedy_decode_fast(
+                        model, params, batch, bos_idx, backend=backend
+                    )
+            else:
+                decode = greedy_decode
 
             @jax.jit
             def fn(params, device_batch):

@@ -57,6 +57,14 @@ def get_args():
         "default) or pallas (ops/fused_attention.py kernel)",
     )
     parser.add_argument(
+        "--decode_backend", choices=["auto", "xla", "fused", "mega"],
+        default="auto",
+        help="greedy-decode implementation: auto (XLA one-row steps — "
+        "fastest measured), or the opt-in pallas kernels fused "
+        "(ops/decode_attention.py, per-layer) / mega (ops/decode_step.py, "
+        "per-step) kept as A/B baselines (SCALING.md)",
+    )
+    parser.add_argument(
         "--prng",
         choices=["rbg", "threefry", "threefry_partitionable"],
         default="threefry",
@@ -318,7 +326,10 @@ def main():
                 src,
             )
 
-    evaluator = Evaluator(model, vocab, metric=task_cfg.metric)
+    evaluator = Evaluator(
+        model, vocab, metric=task_cfg.metric,
+        decode_backend=args.decode_backend,
+    )
 
     if args.pretrained_eval:
         restored = restore_checkpoint(args.pretrained_eval)

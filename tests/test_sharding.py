@@ -145,3 +145,34 @@ def test_training_loop_under_mesh(tmp_path):
     assert int(state.step) == 2
     import os
     assert os.path.exists(str(tmp_path) + "/last_state")
+
+
+def test_sharded_greedy_decode_matches_single_device():
+    """Eval under the mesh: greedy_decode_fast with DP x TP-sharded params
+    and a data-sharded batch must reproduce single-device predictions —
+    the serving path (SCALING.md: TP is the batch-1 latency lever), not
+    just the train step, has to hold under sharding."""
+    from sam_textvqa_tpu.models.fast_decode import greedy_decode_fast
+
+    task, model, batch, params, _ = _setup(batch_size=8)
+
+    @jax.jit
+    def decode(p, b):
+        return greedy_decode_fast(model, p, b, 1)
+
+    scores_single, preds_single = decode(params, batch)
+
+    mesh = make_mesh(8, model_parallel=2)
+    p_shard = shard_params(params, mesh, tensor_parallel=True)
+    params_m = jax.device_put(params, p_shard)
+    bs = batch_sharding(mesh)
+    batch_m = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    scores_mesh, preds_mesh = decode(params_m, batch_m)
+
+    np.testing.assert_array_equal(
+        np.asarray(preds_mesh), np.asarray(preds_single)
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores_mesh), np.asarray(scores_single),
+        rtol=2e-4, atol=2e-4,
+    )

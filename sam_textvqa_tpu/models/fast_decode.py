@@ -131,6 +131,18 @@ def _enc_spatial_bias(classes, lut, col_bias, q_len, n_ctx, quadrants, h,
     return jnp.minimum(bias, col_bias)  # combine with padding mask
 
 
+def _iter_layer_params(cfg: MMTConfig, mmt_p):
+    """Yield (layer_index, layer_type, layer_params) walking the
+    normal_/spatial_/implicit_layer_<i> naming (reference layer_type_list
+    interleaving, sa_m4c.py:738-752) — shared by every decode path."""
+    counters = {"n": 0, "s": 0, "i": 0}
+    names = {"n": "normal_layer_", "s": "spatial_layer_", "i": "implicit_layer_"}
+    for li, layer_type in enumerate(cfg.layer_type_list):
+        idx = counters[layer_type]
+        counters[layer_type] += 1
+        yield li, layer_type, mmt_p[f"{names[layer_type]}{idx}"]
+
+
 def _layer_heads(cfg: MMTConfig, layer_type: str) -> int:
     """Per-layer head count (reference sa_m4c.py: normal layers use
     num_attention_heads, spatial layers num_spatial_relations, implicit
@@ -224,21 +236,15 @@ def build_mmt_cache(
     enc_kv: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
     enc_kv_flat: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
     dec_spatial_cut = []
-    n_i = s_i = i_i = 0
-    for layer_type, mix in zip(cfg.layer_type_list, cfg.mix_list):
+    for li, layer_type, lp in _iter_layer_params(cfg, mmt_p):
+        mix = cfg.mix_list[li]
         if layer_type == "n":
-            lp = mmt_p[f"normal_layer_{n_i}"]
-            n_i += 1
             bias = col_bias
             zero_rows = False
         elif layer_type == "s":
-            lp = mmt_p[f"spatial_layer_{s_i}"]
-            s_i += 1
             bias = get_spatial_bias(MATRIX_TYPE_MAP[mix], 0)
             zero_rows = True
         else:
-            lp = mmt_p[f"implicit_layer_{i_i}"]
-            i_i += 1
             bias = get_spatial_bias(
                 MATRIX_TYPE_MAP[mix], cfg.num_implicit_relations
             )
@@ -321,19 +327,7 @@ def decode_rows(
     causal_ok = jnp.tril(jnp.ones((t_len, t_len), dtype=bool))
     dec_bias = jnp.where(causal_ok, 0.0, MASK_BIAS)[None, None]
 
-    n_i = s_i = i_i = 0
-    for li, (layer_type, mix) in enumerate(
-        zip(cfg.layer_type_list, cfg.mix_list)
-    ):
-        if layer_type == "n":
-            lp = mmt_p[f"normal_layer_{n_i}"]
-            n_i += 1
-        elif layer_type == "s":
-            lp = mmt_p[f"spatial_layer_{s_i}"]
-            s_i += 1
-        else:
-            lp = mmt_p[f"implicit_layer_{i_i}"]
-            i_i += 1
+    for li, layer_type, lp in _iter_layer_params(cfg, mmt_p):
         h = _layer_heads(cfg, layer_type)
         ap = lp["attention_self"]
         q = _split_heads(_dense(ap["query"], x), h)
@@ -390,18 +384,8 @@ def decode_rows(
         x = _ffn(lp, attn_out, attn_out)
 
     # output heads (classifier + pointer net over cached OCR outputs)
-    ocr_begin = cfg.max_seq_length + cfg.max_obj_num
-    ocr_out = cache.enc_out[:, ocr_begin : ocr_begin + cfg.max_ocr_num]
-    fixed = jnp.matmul(x, classifier_weight.T.astype(x.dtype)) + params[
-        "classifier_bias"
-    ].astype(x.dtype)
-    pn = params["ocr_ptr_net"]
-    qd = _dense(pn["query"], x)
-    kd = _dense(pn["key"], ocr_out)
-    dk = qd.shape[-1]
-    dyn = jnp.einsum("btd,bkd->btk", qd, kd) / jnp.asarray(np.sqrt(dk), x.dtype)
-    dyn = dyn + (((1.0 - ocr_mask) * MASK_BIAS)[:, None, :]).astype(x.dtype)
-    return jnp.concatenate([fixed, dyn], axis=-1)
+    ptr_keys = _ptr_keys(params, cfg, cache, ocr_mask, x.dtype)
+    return _output_head(params, classifier_weight, ptr_keys, x)
 
 
 def _prev_pred_tables(params, classifier_weight, ocr_mmt_in):
@@ -466,17 +450,7 @@ def _decode_one_row(params, cfg: MMTConfig, cache: MMTCache,
     )
 
     new_dec_kv = []
-    n_i = s_i = i_i = 0
-    for li, layer_type in enumerate(cfg.layer_type_list):
-        if layer_type == "n":
-            lp = mmt_p[f"normal_layer_{n_i}"]
-            n_i += 1
-        elif layer_type == "s":
-            lp = mmt_p[f"spatial_layer_{s_i}"]
-            s_i += 1
-        else:
-            lp = mmt_p[f"implicit_layer_{i_i}"]
-            i_i += 1
+    for li, layer_type, lp in _iter_layer_params(cfg, mmt_p):
         h = _layer_heads(cfg, layer_type)
         ap = lp["attention_self"]
         q_p, k_p, v_p = _qkv_fused(ap, x)
@@ -533,16 +507,10 @@ def _decode_one_row(params, cfg: MMTConfig, cache: MMTCache,
         attn_out = _layernorm(op["LayerNorm"], _dense(op["dense"], ctx) + x)
         x = _ffn(lp, attn_out, attn_out)
 
-    fixed = jnp.matmul(x, classifier_weight.T.astype(x.dtype)) + params[
-        "classifier_bias"
-    ].astype(x.dtype)
-    pn = params["ocr_ptr_net"]
-    qd = _dense(pn["query"], x)
-    kd, ocr_bias = ptr_keys  # step-invariant, hoisted out of the loop
-    dk = qd.shape[-1]
-    dyn = jnp.einsum("btd,bkd->btk", qd, kd) / jnp.asarray(np.sqrt(dk), x.dtype)
-    dyn = dyn + ocr_bias[:, None, :].astype(x.dtype)
-    return jnp.concatenate([fixed, dyn], axis=-1)[:, 0], tuple(new_dec_kv)
+    return (
+        _output_head(params, classifier_weight, ptr_keys, x)[:, 0],
+        tuple(new_dec_kv),
+    )
 
 
 def _mega_supported(cfg: MMTConfig, cache: MMTCache) -> bool:
@@ -578,17 +546,7 @@ def _fused_step_consts(params, cfg: MMTConfig, cache: MMTCache, dtype):
     copies of the 16.7 MB flat K/V per decode — ~1.7 GB of HBM churn)."""
     mmt_p = params["mmt"]
     weights = []
-    n_i = s_i = i_i = 0
-    for layer_type in cfg.layer_type_list:
-        if layer_type == "n":
-            lp = mmt_p[f"normal_layer_{n_i}"]
-            n_i += 1
-        elif layer_type == "s":
-            lp = mmt_p[f"spatial_layer_{s_i}"]
-            s_i += 1
-        else:
-            lp = mmt_p[f"implicit_layer_{i_i}"]
-            i_i += 1
+    for _, layer_type, lp in _iter_layer_params(cfg, mmt_p):
         ap = lp["attention_self"]
         w = jnp.concatenate(
             [ap["query"]["weight"], ap["key"]["weight"], ap["value"]["weight"]],
@@ -632,23 +590,16 @@ def _decode_one_row_fused(params, cfg: MMTConfig, step_consts,
             q_p, k_enc, v_enc, k_buf, v_buf,
             seg_lens,
             hd=d // h, t=t, q_len=q_len, n_obj=cfg.max_obj_num,
-            n_ocr=cfg.max_ocr_num, interpret=interpret,
+            interpret=interpret,
         )
         op = lp["attention_output"]
         attn_out = _layernorm(op["LayerNorm"], _dense(op["dense"], ctx) + x)
         x = _ffn(lp, attn_out, attn_out)
 
-    x = x[:, None, :]  # (B, 1, D) for the shared output head
-    fixed = jnp.matmul(x, classifier_weight.T.astype(x.dtype)) + params[
-        "classifier_bias"
-    ].astype(x.dtype)
-    pn = params["ocr_ptr_net"]
-    qd = _dense(pn["query"], x)
-    kd, ocr_bias = ptr_keys
-    dk = qd.shape[-1]
-    dyn = jnp.einsum("btd,bkd->btk", qd, kd) / jnp.asarray(np.sqrt(dk), x.dtype)
-    dyn = dyn + ocr_bias[:, None, :].astype(x.dtype)
-    return jnp.concatenate([fixed, dyn], axis=-1)[:, 0], tuple(new_dec_kv)
+    return (
+        _output_head(params, classifier_weight, ptr_keys, x[:, None, :])[:, 0],
+        tuple(new_dec_kv),
+    )
 
 
 def _output_head(params, classifier_weight, ptr_keys, x):
@@ -674,17 +625,7 @@ def _mega_step_consts(params, cfg: MMTConfig, cache: MMTCache, dtype):
         "wqkv", "bqkv", "wout", "bout", "ln1w", "ln1b",
         "wff1", "bff1", "wff2", "bff2", "ln2w", "ln2b",
     )}
-    n_i = s_i = i_i = 0
-    for layer_type in cfg.layer_type_list:
-        if layer_type == "n":
-            lp = mmt_p[f"normal_layer_{n_i}"]
-            n_i += 1
-        elif layer_type == "s":
-            lp = mmt_p[f"spatial_layer_{s_i}"]
-            s_i += 1
-        else:
-            lp = mmt_p[f"implicit_layer_{i_i}"]
-            i_i += 1
+    for _, layer_type, lp in _iter_layer_params(cfg, mmt_p):
         ap = lp["attention_self"]
         cols["wqkv"].append(jnp.concatenate(
             [ap["query"]["weight"], ap["key"]["weight"], ap["value"]["weight"]],
@@ -771,17 +712,7 @@ def _decode_one_row_beams(params, cfg: MMTConfig, cache: MMTCache,
     )  # (1, 1, 1, T)
 
     new_dec_kv = []
-    n_i = s_i = i_i = 0
-    for li, layer_type in enumerate(cfg.layer_type_list):
-        if layer_type == "n":
-            lp = mmt_p[f"normal_layer_{n_i}"]
-            n_i += 1
-        elif layer_type == "s":
-            lp = mmt_p[f"spatial_layer_{s_i}"]
-            s_i += 1
-        else:
-            lp = mmt_p[f"implicit_layer_{i_i}"]
-            i_i += 1
+    for li, layer_type, lp in _iter_layer_params(cfg, mmt_p):
         h = _layer_heads(cfg, layer_type)
         ap = lp["attention_self"]
         hd = d // h
@@ -841,16 +772,8 @@ def _decode_one_row_beams(params, cfg: MMTConfig, cache: MMTCache,
         attn_out = _layernorm(op["LayerNorm"], _dense(op["dense"], ctx) + x)
         x = _ffn(lp, attn_out, attn_out)
 
-    fixed = jnp.matmul(x, classifier_weight.T.astype(x.dtype)) + params[
-        "classifier_bias"
-    ].astype(x.dtype)
-    pn = params["ocr_ptr_net"]
-    qd = _dense(pn["query"], x)          # (B, K, dk)
-    kd, ocr_bias = ptr_keys             # step-invariant, hoisted (B, OCR, dk)
-    dk = qd.shape[-1]
-    dyn = jnp.einsum("bkd,bod->bko", qd, kd) / jnp.asarray(np.sqrt(dk), x.dtype)
-    dyn = dyn + ocr_bias[:, None, :].astype(x.dtype)
-    return jnp.concatenate([fixed, dyn], axis=-1), tuple(new_dec_kv)
+    # beams ride the "row" axis of the shared head: x is (B, K, D)
+    return _output_head(params, classifier_weight, ptr_keys, x), tuple(new_dec_kv)
 
 
 def greedy_decode_fast(model, params, batch, bos_idx: int,
@@ -877,6 +800,11 @@ def greedy_decode_fast(model, params, batch, bos_idx: int,
     """
     from .sa_m4c import SAM4C
 
+    if backend not in ("auto", "xla", "fused", "mega"):
+        raise ValueError(
+            f"unknown decode backend {backend!r} "
+            "(expected auto | xla | fused | mega)"
+        )
     cfg = model.params_cfg.mmt
     t_max = cfg.num_decoding_steps
     encodings = model.apply(
@@ -927,7 +855,7 @@ def greedy_decode_fast(model, params, batch, bos_idx: int,
 
     if use_mega:
         return _greedy_mega(
-            model, params, batch, bos_idx, cfg, cache, classifier_weight,
+            params, batch, bos_idx, cfg, cache, classifier_weight,
             tables, ans_num, ptr_keys, dtype, interpret
         )
 
@@ -971,7 +899,7 @@ def greedy_decode_fast(model, params, batch, bos_idx: int,
     return final_scores, jnp.argmax(final_scores, axis=-1).astype(jnp.int32)
 
 
-def _greedy_mega(model, params, batch, bos_idx, cfg, cache,
+def _greedy_mega(params, batch, bos_idx, cfg, cache,
                  classifier_weight, tables, ans_num, ptr_keys, dtype,
                  interpret):
     """Greedy decode driven by the per-step megakernel
@@ -1003,7 +931,7 @@ def _greedy_mega(model, params, batch, bos_idx, cfg, cache,
             stacks["wff2"], stacks["bff2"], stacks["ln2w"], stacks["ln2b"],
             k_enc_all, v_enc_all, k_dec, v_dec,
             hd=hd, q_len=cfg.max_seq_length, n_obj=cfg.max_obj_num,
-            n_ocr=cfg.max_ocr_num, batch_tiles=batch_tiles,
+            batch_tiles=batch_tiles,
             interpret=interpret,
         )
         logits = _output_head(

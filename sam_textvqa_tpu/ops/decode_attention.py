@@ -44,7 +44,7 @@ LANE = 128
 
 
 def _kernel(lens_ref, q_ref, ke_ref, ve_ref, kd_ref, vd_ref, out_ref, *,
-            hd, t, q_len, n_obj, n_ocr, scale):
+            hd, t, q_len, n_obj, scale):
     heads_per_blk = LANE // hd
     le = ke_ref.shape[1]
     t_max = kd_ref.shape[1]
@@ -121,7 +121,11 @@ def _kernel(lens_ref, q_ref, ke_ref, ve_ref, kd_ref, vd_ref, out_ref, *,
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,  # Mosaic needs 32-bit acc
         ).astype(dtype)  # (B, L, LANE)
-        return jnp.sum(p_lanes * v_ref[:].astype(dtype), axis=1)
+        # f32 accumulate like the MXU einsum on the XLA path (a bf16 sum
+        # over ~182 terms can flip near-tie argmaxes)
+        return jnp.sum(
+            (p_lanes * v_ref[:].astype(dtype)).astype(jnp.float32), axis=1
+        ).astype(dtype)
 
     out = weighted(p_enc, ve_ref) + weighted(p_dec, vd_ref)
     out_ref[:] = out.astype(out_ref.dtype)
@@ -129,11 +133,11 @@ def _kernel(lens_ref, q_ref, ke_ref, ve_ref, kd_ref, vd_ref, out_ref, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hd", "t", "q_len", "n_obj", "n_ocr", "interpret"),
+    static_argnames=("hd", "t", "q_len", "n_obj", "interpret"),
 )
 def decode_attention(
     q, k_enc, v_enc, k_dec, v_dec, seg_lens,
-    *, hd: int, t: int, q_len: int, n_obj: int, n_ocr: int,
+    *, hd: int, t: int, q_len: int, n_obj: int,
     interpret: bool = False,
 ):
     """Fused one-row decode attention.
@@ -157,7 +161,7 @@ def decode_attention(
 
     kernel = functools.partial(
         _kernel,
-        hd=hd, t=t, q_len=q_len, n_obj=n_obj, n_ocr=n_ocr,
+        hd=hd, t=t, q_len=q_len, n_obj=n_obj,
         scale=1.0 / float(np.sqrt(hd)),
     )
     return pl.pallas_call(

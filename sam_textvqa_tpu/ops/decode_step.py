@@ -79,7 +79,7 @@ def _kernel(t_ref, lens_ref, x0_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
             ln1w_ref, ln1b_ref, wff1_ref, bff1_ref, wff2_ref, bff2_ref,
             ln2w_ref, ln2b_ref, ke_ref, ve_ref, kdin_ref, vdin_ref,
             xout_ref, kdout_ref, vdout_ref, x_scr, qkv_scr, ctx_scr, *,
-            hd, q_len, n_obj, n_ocr, scale, num_j):
+            hd, q_len, n_obj, scale, num_j):
     l = pl.program_id(0)
     jb = pl.program_id(1)
     j = pl.program_id(2)
@@ -198,14 +198,14 @@ def _kernel(t_ref, lens_ref, x0_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "hd", "q_len", "n_obj", "n_ocr", "batch_tiles", "interpret",
+        "hd", "q_len", "n_obj", "batch_tiles", "interpret",
     ),
 )
 def decode_step_fused(
     t_arr, lens, x0,
     wqkv, bqkv, wout, bout, ln1w, ln1b, wff1, bff1, wff2, bff2, ln2w, ln2b,
     k_enc, v_enc, k_dec, v_dec,
-    *, hd: int, q_len: int, n_obj: int, n_ocr: int,
+    *, hd: int, q_len: int, n_obj: int,
     batch_tiles: int = 2, interpret: bool = False,
 ):
     """One full decode step (all layers) in one pallas call.
@@ -274,7 +274,7 @@ def decode_step_fused(
     )
     kernel = functools.partial(
         _kernel,
-        hd=hd, q_len=q_len, n_obj=n_obj, n_ocr=n_ocr,
+        hd=hd, q_len=q_len, n_obj=n_obj,
         scale=1.0 / float(np.sqrt(hd)), num_j=num_j,
     )
     return pl.pallas_call(

@@ -266,3 +266,9 @@ def test_decode_rows_matches_model_dec_quadrants():
     np.testing.assert_allclose(
         np.asarray(scores), np.asarray(out["scores"]), rtol=2e-5, atol=2e-5
     )
+
+
+def test_unknown_decode_backend_raises(tiny):
+    task, model, batch, params = tiny
+    with pytest.raises(ValueError, match="unknown decode backend"):
+        greedy_decode_fast(model, params, batch, BOS, backend="pallas")

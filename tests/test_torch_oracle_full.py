@@ -249,7 +249,6 @@ def test_full_model_use_bias_and_aux_heads_match_torch_oracle(fusion):
     batch_np = device_batch(make_batch(task, 2, num_answers_vocab=NUM_ANSWERS))
     batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
     params = model.init({"params": jax.random.PRNGKey(1)}, batch)["params"]
-    out = model.apply({"params": params}, batch, deterministic=True)
     p = jax.tree.map(lambda v: np.asarray(v), params)
     # randomize the zero-init bias/classifier leaves so the oracle actually
     # exercises them

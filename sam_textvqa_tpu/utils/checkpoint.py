@@ -167,6 +167,11 @@ def reference_name_map(mmt_layer_types, text_bert_layers: int = 3):
             )
             i_i += 1
 
+    # TextBERT->MMT projection, present only when hidden sizes differ
+    # (reference sa_m4c.py:93-103); unused entries are never consulted
+    m[("text_bert_out_linear", "weight")] = "text_bert_out_linear.weight"
+    m[("text_bert_out_linear", "bias")] = "text_bert_out_linear.bias"
+
     # output heads
     m[("ocr_ptr_net", "query", "weight")] = "ocr_ptr_net.query.weight"
     m[("ocr_ptr_net", "query", "bias")] = "ocr_ptr_net.query.bias"

@@ -1,0 +1,196 @@
+"""THE model-parity proof: the mounted reference's own `sam/sa_m4c.py`
+(SpatialBertSelfAttention :399-610, MMT/PrevPredEmbeddings :773-948, greedy
+loop :280-302) executes VERBATIM under a pytorch_transformers shim, loaded
+with our flax model's weights via the converter name map, and must reproduce
+our scores — teacher-forced and through the full 12-step greedy decode,
+across c3/c5 contexts, quadrant variants, use_bias, aux heads, and the
+text-projection configuration.
+
+This retires the transcription risk of tests/test_torch_oracle_full.py: the
+oracle here is not our transcription of the reference but the reference.
+"""
+
+import dataclasses
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from conftest import reference_available
+
+if not reference_available():  # pragma: no cover
+    pytest.skip("/root/reference not mounted", allow_module_level=True)
+
+from reference_model_oracle import (
+    load_reference_sam4c,
+    shim_config,
+    state_dict_from_flax_params,
+    torch_batch,
+)
+
+NUM_ANSWERS = 40
+BOS_IDX = 1
+TEXT_VOCAB = 512  # shrunk word-embedding table (indices remapped mod this)
+
+
+def _configs(mmt_overrides=None, tb_overrides=None):
+    """Frozen configs with dropouts zeroed (so the reference's train-mode
+    teacher-forced branch is deterministic) and small FFN/vocab for CPU."""
+    from sam_textvqa_tpu.config import task_config_from_dict
+
+    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 3}})
+    mmt = dataclasses.replace(
+        cfg.mmt,
+        intermediate_size=256,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        obj_drop=0.0,
+        ocr_drop=0.0,
+        **(mmt_overrides or {}),
+    )
+    tb = dataclasses.replace(
+        cfg.text_bert,
+        vocab_size=TEXT_VOCAB,
+        intermediate_size=256,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        text_bert_init_from_bert_base=False,
+        **(tb_overrides or {}),
+    )
+    return dataclasses.replace(cfg, mmt=mmt, text_bert=tb)
+
+
+def _batch(task, batch_size=2, seed=0):
+    from sam_textvqa_tpu.data.synthetic import device_batch, make_batch
+
+    batch_np = device_batch(make_batch(task, batch_size, seed=seed,
+                                       num_answers_vocab=NUM_ANSWERS))
+    # remap BERT-range token ids into the shrunk text vocab (0 stays 0)
+    batch_np["question_indices"] = (
+        batch_np["question_indices"] % TEXT_VOCAB
+    ).astype(np.int32)
+    return batch_np
+
+
+def _build_pair(task, seed=0):
+    """(flax scores fn inputs, loaded reference torch model)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sam_textvqa_tpu.models.sa_m4c import SAM4C, SAM4CParams
+
+    model = SAM4C(params_cfg=SAM4CParams(task.mmt, task.text_bert, NUM_ANSWERS))
+    batch_np = _batch(task, seed=seed)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    params = model.init({"params": jax.random.PRNGKey(seed)}, batch)["params"]
+
+    sa_m4c = load_reference_sam4c(NUM_ANSWERS, bos_idx=BOS_IDX)
+    mmt_cfg = shim_config(task.mmt)
+    tb_cfg = shim_config(task.text_bert)
+    ref_model = sa_m4c.SAM4C(mmt_cfg, tb_cfg)
+
+    p_np = jax.tree.map(lambda v: np.asarray(v), params)
+    sd, unmapped = state_dict_from_flax_params(
+        p_np, list(task.mmt.layer_type_list), task.text_bert.num_hidden_layers
+    )
+    assert not unmapped, f"flax leaves without a reference name: {unmapped}"
+    missing, unexpected = ref_model.load_state_dict(sd, strict=False)
+    assert not missing, f"reference params not covered by our tree: {missing}"
+    assert not unexpected, f"our tree has keys the reference lacks: {unexpected}"
+
+    from sam_textvqa_tpu.config import MATRIX_TYPE_MAP
+
+    ctx_keys = sorted(
+        {MATRIX_TYPE_MAP[m] for lt, m in
+         zip(task.mmt.layer_type_list, task.mmt.mix_list) if lt in ("s", "i")}
+    )
+    tbatch = torch_batch(batch_np, ctx_keys)
+    return model, params, batch, batch_np, ref_model, tbatch
+
+
+VARIANTS = {
+    "c3": {},
+    "c5": {"mix_list": ("none", "none", "share5", "share5", "share5", "share5")},
+    "quad-1247": {"attention_mask_quadrants": (1, 2, 4, 7)},
+    "quad-289": {"attention_mask_quadrants": (2, 8, 9)},
+    "bias-aux-mul": {"use_bias": True, "use_aux_heads": True,
+                     "aux_spatial_fusion": "mul"},
+    "bias-aux-add": {"use_bias": True, "use_aux_heads": True,
+                     "aux_spatial_fusion": "add"},
+}
+
+
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+def test_teacher_forced_matches_reference(variant):
+    """Train-mode (teacher-forced) forward: reference sa_m4c.py executed
+    verbatim vs our flax model under shared weights."""
+    task = _configs(mmt_overrides=VARIANTS[variant])
+    model, params, batch, batch_np, ref_model, tbatch = _build_pair(task)
+
+    ours = model.apply({"params": params}, batch, deterministic=True)
+
+    ref_model.train()  # teacher-forced branch; dropouts are all 0.0
+    with torch.no_grad():
+        ref_out = ref_model(tbatch)
+    ref_scores = ref_out["textvqa_scores"].numpy()
+
+    np.testing.assert_allclose(
+        np.asarray(ours["scores"]), ref_scores, rtol=2e-4, atol=2e-4
+    )
+    if task.mmt.use_aux_heads:
+        np.testing.assert_allclose(
+            np.asarray(ours["spatial_head_out"]),
+            tbatch["spatial_head_out"].numpy(),
+            rtol=2e-4,
+            atol=2e-4,
+        )
+
+
+def test_text_projection_matches_reference():
+    """mmt hidden != 768 engages text_bert_out_linear on both sides
+    (reference sa_m4c.py:93-103)."""
+    task = _configs(mmt_overrides={"hidden_size": 96, "ptr_query_size": 96})
+    model, params, batch, batch_np, ref_model, tbatch = _build_pair(task)
+    ours = model.apply({"params": params}, batch, deterministic=True)
+    ref_model.train()
+    with torch.no_grad():
+        ref_out = ref_model(tbatch)
+    np.testing.assert_allclose(
+        np.asarray(ours["scores"]), ref_out["textvqa_scores"].numpy(),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_greedy_loop_matches_reference():
+    """The reference's 12-step eval loop (sa_m4c.py:285-302) vs our
+    lax.scan greedy decode: identical final scores and argmax ids."""
+    from sam_textvqa_tpu.models.sa_m4c import greedy_decode
+
+    task = _configs()
+    model, params, batch, batch_np, ref_model, tbatch = _build_pair(task)
+
+    final_scores, pred_ids = greedy_decode(model, params, batch, bos_idx=BOS_IDX)
+
+    ref_model.eval()
+    with torch.no_grad():
+        ref_out = ref_model(tbatch)
+    ref_scores = ref_out["textvqa_scores"].numpy()
+    ref_ids = ref_scores.argmax(axis=-1)
+
+    np.testing.assert_array_equal(np.asarray(pred_ids), ref_ids)
+    np.testing.assert_allclose(
+        np.asarray(final_scores), ref_scores, rtol=2e-4, atol=2e-4
+    )
+    # the autoregressive feedback path must agree too: the reference's final
+    # prev_inds are the BOS + shifted argmaxes it actually fed back
+    ref_prev = tbatch["train_prev_inds"].numpy()
+    ours_prev = np.concatenate(
+        [np.full((ref_prev.shape[0], 1), BOS_IDX), np.asarray(pred_ids)[:, :-1]],
+        axis=1,
+    )
+    np.testing.assert_array_equal(ours_prev, ref_prev)

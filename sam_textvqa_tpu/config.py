@@ -104,6 +104,11 @@ class MMTConfig:
     use_aux_heads: bool = False
     aux_spatial_fusion: str = "mul"
     frcn_encoder_type: str = "default"  # or "finetune_faster_rcnn_fpn_fc7"
+    # pickled detectron fc7 (weight, bias) files installed into the
+    # finetune encoders at init (reference textvqa_encoders.py:46-57;
+    # the reference hard-codes detectron/fc6/fc7_{w,b}.pkl, sa_m4c.py:137-139)
+    detectron_weights_file: str = ""
+    detectron_bias_file: str = ""
     spatial_type: str = "top"
     use_bias: bool = False
     no_drop: bool = False

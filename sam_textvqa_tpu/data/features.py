@@ -52,6 +52,54 @@ class FeatureSource:
         raise NotImplementedError
 
 
+def _split_path(path: str):
+    """Split a path into all of its components (drive/root kept as the
+    first element), like repeated os.path.split."""
+    parts = []
+    while True:
+        head, tail = os.path.split(path)
+        if head == path:      # absolute-path root
+            parts.insert(0, head)
+            break
+        if tail == path:      # single relative component left
+            parts.insert(0, tail)
+            break
+        parts.insert(0, tail)
+        path = head
+    return parts
+
+
+def rebase_image_id(image_id: str, sample_id: str) -> str:
+    """ST-VQA / OCR-VQA image-id path surgery (reference
+    _image_features_reader.py:94-117).
+
+    The datasets derive ST-VQA ids from ``image_path`` and OCR-VQA ids from
+    bare filenames, but the LMDB keys are full paths under whatever root the
+    features were extracted at. The first stored key (``sample_id``) donates
+    that root:
+
+    * ids containing ``scene-text``: keep ``sample_id``'s components up to
+      (excluding) the first one containing ``task``, then append the
+      requested id's components from its first ``task`` part onward;
+    * stored keys containing ``ocr-vqa``: prefix the requested id with
+      ``dirname(sample_id)``.
+    """
+    if "scene-text" in image_id:
+        head = []
+        for part in _split_path(sample_id):
+            if "task" in part:
+                break
+            head.append(part)
+        id_parts = _split_path(image_id)
+        task_at = [i for i, p in enumerate(id_parts) if "task" in p]
+        tail = id_parts[task_at[0]:] if task_at else []
+        if head + tail:
+            image_id = os.path.join(*(head + tail))
+    if "ocr-vqa" in sample_id:
+        image_id = os.path.join(os.path.dirname(sample_id), image_id)
+    return image_id
+
+
 class LmdbFeatureSource(FeatureSource):
     """Reads the reference LMDB layout: pickled ``{features, boxes,
     image_h, image_w}`` per image-id key plus a pickled ``keys`` entry
@@ -69,14 +117,21 @@ class LmdbFeatureSource(FeatureSource):
             meminit=False,
         )
         with self.env.begin(write=False) as txn:
-            self._image_ids = set(pickle.loads(txn.get(b"keys")))
+            keys = pickle.loads(txn.get(b"keys"))
+        self._image_ids = set(keys)
+        # first stored key donates the path root for scene-text / ocr-vqa
+        # id rebasing (reference _image_features_reader.py:94-117)
+        self._sample_id = keys[0].decode() if keys else ""
+
+    def _resolve(self, image_id: str) -> bytes:
+        return str(rebase_image_id(str(image_id), self._sample_id)).encode()
 
     def __contains__(self, image_id: str) -> bool:
-        return str(image_id).encode() in self._image_ids
+        return self._resolve(image_id) in self._image_ids
 
     def get(self, image_id: str) -> Tuple[np.ndarray, np.ndarray]:
         with self.env.begin(write=False) as txn:
-            item = pickle.loads(txn.get(str(image_id).encode()))
+            item = pickle.loads(txn.get(self._resolve(image_id)))
         features = np.asarray(item["features"], np.float32).reshape(-1, 2048)
         boxes = np.asarray(item["boxes"], np.float32).reshape(-1, 4)
         return features, normalize_boxes(

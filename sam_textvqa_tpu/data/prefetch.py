@@ -25,9 +25,15 @@ def prefetch_to_device(
     batch_iter: Iterator[Dict],
     size: int = 2,
     sharding=None,
+    process_local: bool = False,
 ) -> Iterator[Dict]:
     """Wrap a host batch iterator; device arrays arrive ``size`` batches
-    ahead. Host-only keys (prefixed ``_``) pass through untouched."""
+    ahead. Host-only keys (prefixed ``_``) pass through untouched.
+
+    ``process_local`` (multi-host): each host's iterator yields only its
+    own row slice, assembled into globally-sharded arrays via
+    ``jax.make_array_from_process_local_data`` instead of ``device_put``.
+    """
 
     q: "queue.Queue" = queue.Queue(maxsize=size)
     stop = threading.Event()
@@ -49,7 +55,16 @@ def prefetch_to_device(
                 dev = {
                     k: v for k, v in batch.items() if not k.startswith("_")
                 }
-                if sharding is not None:
+                if process_local and sharding is not None:
+                    import numpy as _np
+
+                    dev = {
+                        k: jax.make_array_from_process_local_data(
+                            sharding, _np.asarray(v)
+                        )
+                        for k, v in dev.items()
+                    }
+                elif sharding is not None:
                     dev = {
                         k: jax.device_put(v, sharding) for k, v in dev.items()
                     }

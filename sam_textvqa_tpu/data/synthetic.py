@@ -195,10 +195,12 @@ class SyntheticDataset:
             else [[] for _ in idx]
         )
         if rng is not None and self.with_answers:
+            from .dataset import _row_rng
+
             # coherent supervision: targets sampled from the answer matches
             for row, i in enumerate(idx):
                 sampled = self._processor.sample_decoding_targets(
-                    self._matches[i], rng
+                    self._matches[i], _row_rng(rng, row)
                 )
                 out["train_prev_inds"][row] = sampled["train_prev_inds"]
                 out["train_loss_mask"][row] = sampled["train_loss_mask"]

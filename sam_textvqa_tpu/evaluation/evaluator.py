@@ -85,10 +85,13 @@ class Evaluator:
         # "auto" (XLA one-row steps — fastest measured) or the opt-in
         # pallas kernels "fused"/"mega" (A/B baselines; SCALING.md)
         self.decode_backend = decode_backend
-        self._greedy = None
+        # jitted decode fns keyed on (fast_decode, decode_backend) so
+        # mutating either attribute after first use picks the right path
+        self._greedy: Dict = {}
 
     def _greedy_fn(self):
-        if self._greedy is None:
+        key = (self.fast_decode, self.decode_backend)
+        if key not in self._greedy:
             from ..models.fast_decode import greedy_decode_fast
             from ..models.sa_m4c import greedy_decode
 
@@ -107,8 +110,8 @@ class Evaluator:
             def fn(params, device_batch):
                 return decode(self.model, params, device_batch, bos)
 
-            self._greedy = fn
-        return self._greedy
+            self._greedy[key] = fn
+        return self._greedy[key]
 
     def run_split(
         self,
@@ -186,10 +189,14 @@ class Evaluator:
         beam_size: int,
         gt_answers_by_qid: Optional[Dict[int, List[str]]] = None,
     ) -> Dict:
-        """Beam-search decode; per-question best-beam answer, scored with
-        BOTH the VQA soft metric and ANLS like the reference beam evaluator
-        (reference evaluator.py:88-93 computes vqa and anls accuracies;
-        :344-351 picks the argmax-topkscores beam per question)."""
+        """Beam-search decode with the reference's full result schema.
+
+        Every beam is decoded and (when ground truth exists) scored — the
+        analogue of the reference's ``accuracies_df`` with one row per beam
+        (reference evaluator.py:312-340) — and the per-question best beam by
+        topkscore (reference :344-351, ``best_result_df``) provides the
+        headline answer. Both the VQA soft metric and ANLS are reported
+        (reference :88-93)."""
         from ..models.beam_search import beam_search_decode
         from ..models.fast_decode import beam_search_decode_fast
 
@@ -217,18 +224,32 @@ class Evaluator:
             scores = np.asarray(scores)  # (B, K)
             best = np.argmax(scores, axis=1)
             real = host_only.get("_real_count", seqs.shape[0])
+            k = seqs.shape[1]
             for i in range(real):
-                ids = seqs[i, best[i], 1:]  # drop BOS (reference :333)
-                decoded = decode_predictions(
-                    ids[None],
-                    [host_only["_ocr_tokens"][i]],
+                # decode ALL beams (reference accuracies_df, one row per
+                # beam; BOS dropped like reference :333)
+                decoded_all = decode_predictions(
+                    seqs[i, :, 1:],
+                    [host_only["_ocr_tokens"][i]] * k,
                     self.answer_vocab.word_list,
                     eos,
-                )[0]
+                )
+                beams = [
+                    {
+                        "pred_answer": decoded_all[b]["pred_answer"],
+                        "belongs_to": decoded_all[b]["belongs_to"],
+                        "topkscore": float(scores[i, b]),
+                        "pred_ids": seqs[i, b].tolist(),
+                    }
+                    for b in range(k)
+                ]
+                bi = int(best[i])
                 entry = {
                     "question_id": qids[i],
-                    "pred_answer": decoded["pred_answer"],
-                    "topkscore": float(scores[i, best[i]]),
+                    "pred_answer": beams[bi]["pred_answer"],
+                    "topkscore": beams[bi]["topkscore"],
+                    "best_beam": bi,
+                    "beams": beams,
                 }
                 gt = host_only["_answers"][i]
                 if not gt and gt_answers_by_qid:
@@ -241,6 +262,17 @@ class Evaluator:
         if scored_preds:
             accuracy, _ = self.metric_evaluator.eval_pred_list(scored_preds)
             anls, _ = STVQAANLSEvaluator().eval_pred_list(scored_preds)
+            # per-beam accuracies (reference accuracies_df "accuracy" col)
+            flat = [
+                {"pred_answer": b["pred_answer"], "gt_answers": p["gt_answers"]}
+                for p in scored_preds
+                for b in p["beams"]
+            ]
+            _, flat_scores = self.metric_evaluator.eval_pred_list(flat)
+            it = iter(flat_scores)
+            for p in scored_preds:
+                for b in p["beams"]:
+                    b["accuracy"] = next(it)
         return {
             "accuracy": accuracy,
             "anls": anls,

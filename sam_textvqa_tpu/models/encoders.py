@@ -46,3 +46,35 @@ def load_detectron_fc7_weights(
     with open(bias_file, "rb") as b:
         bias = pickle.load(b)
     return np.asarray(weights, np.float32), np.asarray(bias, np.float32)
+
+
+def apply_detectron_fc7_weights(
+    params,
+    weights_file: str,
+    bias_file: str,
+    modules: Tuple[str, ...] = ("obj_faster_rcnn_fc7", "ocr_faster_rcnn_fc7"),
+):
+    """Install pickled detectron fc7 weights into the frcn encoder params.
+
+    The reference does this inside ``FinetuneFasterRcnnFpnFc7.__init__``
+    (textvqa_encoders.py:46-57) at construction; here params are explicit,
+    so the surgery happens after ``model.init``. Returns (new_params,
+    installed_module_names). Modules absent from the tree (encoder_type
+    "default" has no params) are skipped.
+    """
+    weights, bias = load_detectron_fc7_weights(weights_file, bias_file)
+    new_params = dict(params)
+    installed = []
+    for mod in modules:
+        sub = new_params.get(mod)
+        if not sub or "lc" not in sub:
+            continue
+        lc = dict(sub["lc"])
+        assert lc["weight"].shape == weights.shape, (
+            mod, lc["weight"].shape, weights.shape)
+        assert lc["bias"].shape == bias.shape, (mod, lc["bias"].shape, bias.shape)
+        lc["weight"] = jnp.asarray(weights)
+        lc["bias"] = jnp.asarray(bias)
+        new_params[mod] = {**dict(sub), "lc": lc}
+        installed.append(mod)
+    return new_params, installed

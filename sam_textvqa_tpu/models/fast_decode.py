@@ -524,7 +524,13 @@ def _mega_supported(cfg: MMTConfig, cache: MMTCache) -> bool:
 def _fused_supported(cfg: MMTConfig, cache: MMTCache) -> bool:
     """The pallas decode kernel covers hd | 128 head layouts and no
     decoder-row quadrant masking; anything else falls back to the XLA
-    one-row path (identical outputs either way)."""
+    one-row path. Kernel-vs-XLA agreement is exact in f32 and argmax-level
+    in bf16 (the kernel rounds k*q elementwise where XLA accumulates in
+    f32 inside the MXU) — the bar the A/B backends are held to.
+
+    Precondition (see _seg_lens): the kernels rebuild the encoder padding
+    bias from per-segment valid COUNTS, so question/obj/OCR masks must be
+    prefix-contiguous — true for everything the data pipeline emits."""
     d = cfg.hidden_size
     if d % 128 != 0 or any(cache.spatial_dec_masked):
         return False
@@ -657,19 +663,32 @@ def _mega_step_consts(params, cfg: MMTConfig, cache: MMTCache, dtype):
     return stacks, k_enc, v_enc
 
 
-def _seg_lens(batch):
+def _seg_lens(batch, validate: bool = False):
     """(B, 128) f32 — per-sample valid counts of the question / obj / OCR
-    segments (the padding masks are prefix-contiguous by construction in
-    the data pipeline), consumed by the pallas decode kernel."""
+    segments, consumed by the pallas decode kernel.
+
+    PRECONDITION: each mask is prefix-contiguous (1s then 0s) — true for
+    everything the data pipeline emits. A non-contiguous mask reaching the
+    opt-in fused/mega backends would silently diverge from the XLA path;
+    ``validate=True`` (used by tests) asserts count == first-zero length.
+    """
     b = batch["question_mask"].shape[0]
-    lens = jnp.stack(
-        [
-            batch["question_mask"].astype(jnp.float32).sum(-1),
-            batch["pad_obj_mask"].astype(jnp.float32).sum(-1),
-            batch["pad_ocr_mask"].astype(jnp.float32).sum(-1),
-        ],
-        axis=1,
-    )
+    masks = [
+        batch["question_mask"].astype(jnp.float32),
+        batch["pad_obj_mask"].astype(jnp.float32),
+        batch["pad_ocr_mask"].astype(jnp.float32),
+    ]
+    if validate:
+        for m in masks:
+            arr = np.asarray(m)
+            n = arr.shape[-1]
+            first_zero = np.where(
+                arr > 0, np.arange(1, n + 1)[None, :], 0
+            ).max(-1)
+            assert (arr.sum(-1) == first_zero).all(), (
+                "fused/mega decode backends require prefix-contiguous masks"
+            )
+    lens = jnp.stack([m.sum(-1) for m in masks], axis=1)
     return jnp.zeros((b, 128), jnp.float32).at[:, :3].set(lens)
 
 

@@ -44,6 +44,27 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def make_global_batch(host_batch: Dict, mesh: Mesh) -> Dict:
+    """Per-process LOCAL rows -> globally batch-sharded ``jax.Array``s.
+
+    Each process supplies only its own ``global_batch / process_count``
+    slice (from a process-sharded ``EpochBatcher``);
+    ``jax.make_array_from_process_local_data`` stitches the global array
+    without any host ever materializing the full batch. Host-only keys
+    (``_``-prefixed) pass through untouched.
+    """
+    sharding = batch_sharding(mesh)
+    out = {}
+    for k, v in host_batch.items():
+        if k.startswith("_"):
+            out[k] = v
+        else:
+            out[k] = jax.make_array_from_process_local_data(
+                sharding, np.asarray(v)
+            )
+    return out
+
+
 # (regex over flattened param path, partition spec) — first match wins.
 # Megatron mapping for the (out, in)-layout torch-style weights:
 #   qkv / intermediate: split the OUTPUT dim over 'model'

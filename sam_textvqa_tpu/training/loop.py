@@ -45,6 +45,18 @@ def _device_view(batch: Dict) -> Dict:
     }
 
 
+def _local_rows(arr) -> np.ndarray:
+    """Rows of a (possibly multi-host global) batch-sharded array that this
+    process owns, in ascending global-row order — aligned with the local
+    host-side lists a process-sharded EpochBatcher produced."""
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        shards = sorted(
+            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(arr)
+
+
 def _batch_accuracy(pred_ids, batch, answer_vocab, eos_idx, metric_evaluator):
     """Teacher-forced train accuracy on the host.
 
@@ -60,7 +72,7 @@ def _batch_accuracy(pred_ids, batch, answer_vocab, eos_idx, metric_evaluator):
 
     real = batch.get("_real_count", pred_ids.shape[0])
     decoded = decode_predictions(
-        np.asarray(pred_ids)[:real],
+        _local_rows(pred_ids)[:real],
         batch["_ocr_tokens"][:real],
         answer_vocab.word_list,
         eos_idx,
@@ -165,9 +177,16 @@ def train(
         for sig in (signal.SIGTERM, signal.SIGINT):
             prev_handlers[sig] = signal.signal(sig, _on_signal)
 
+    # multi-host sharded input: a process-sharded batcher yields only this
+    # host's row slice; global arrays are stitched per shard
+    process_local = (
+        jax.process_count() > 1
+        and getattr(train_batcher, "process_count", 1) == jax.process_count()
+    )
+
     stop = False
     for epoch_id in range(start_epoch, num_epochs):
-        losses, accs = [], []
+        losses = []
         t_window = time.time()
         samples_window = 0
         from ..data.prefetch import prefetch_to_device
@@ -183,6 +202,7 @@ def train(
             (host_side(b) for b in train_batcher.epoch_batches()),
             size=2,
             sharding=data_sharding,
+            process_local=process_local,
         )
         for it, batch in enumerate(batches):
             device_batch = _device_view(batch)
@@ -194,7 +214,6 @@ def train(
                     metrics["pred_ids"], batch, answer_vocab, special.eos,
                     evaluator.metric_evaluator,
                 )
-                accs.append(acc)
                 loss_avg = float(jnp.mean(jnp.stack(losses)))
                 if not np.isfinite(loss_avg):
                     raise FloatingPointError(

@@ -167,6 +167,12 @@ def reference_name_map(mmt_layer_types, text_bert_layers: int = 3):
             )
             i_i += 1
 
+    # finetune frcn encoders (reference ImageEncoder wraps the Linear as
+    # ``module.lc``, textvqa_encoders.py:17-60); absent for "default"
+    for enc in ("obj_faster_rcnn_fc7", "ocr_faster_rcnn_fc7"):
+        m[(enc, "lc", "weight")] = f"{enc}.module.lc.weight"
+        m[(enc, "lc", "bias")] = f"{enc}.module.lc.bias"
+
     # TextBERT->MMT projection, present only when hidden sizes differ
     # (reference sa_m4c.py:93-103); unused entries are never consulted
     m[("text_bert_out_linear", "weight")] = "text_bert_out_linear.weight"

@@ -206,3 +206,62 @@ def test_init_text_bert_from_bert_base(tmp_path):
     # hydrated params still run
     out = model.apply({"params": new_params}, batch, deterministic=True)
     assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+def test_frcn_finetune_convert_and_detectron_apply(tmp_path):
+    """finetune_faster_rcnn_fpn_fc7 params must have converter entries
+    (reference keys ``*_faster_rcnn_fc7.module.lc.*``) and the detectron
+    pickle application path (reference textvqa_encoders.py:46-57) must
+    install into BOTH encoder modules."""
+    import pickle
+
+    from sam_textvqa_tpu.models.encoders import apply_detectron_fc7_weights
+
+    task, model, batch, params = _setup(
+        frcn_encoder_type="finetune_faster_rcnn_fpn_fc7"
+    )
+    assert "lc" in params["obj_faster_rcnn_fc7"]
+
+    # converter coverage + strict round trip
+    name_map = reference_name_map(list(task.mmt.layer_type_list),
+                                  task.text_bert.num_hidden_layers)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    rng = np.random.RandomState(2)
+    state_dict = {}
+    for path, leaf in flat:
+        keys = tuple(p.key for p in path if hasattr(p, "key"))
+        assert keys in name_map, keys
+        state_dict[name_map[keys]] = rng.randn(*leaf.shape).astype(np.float32)
+    converted, missing = convert_torch_state_dict(state_dict, params, strict=True)
+    assert not missing
+    np.testing.assert_array_equal(
+        np.asarray(converted["ocr_faster_rcnn_fc7"]["lc"]["weight"]),
+        state_dict["ocr_faster_rcnn_fc7.module.lc.weight"],
+    )
+
+    # detectron pickle application
+    w = rng.randn(2048, 2048).astype(np.float32)
+    b = rng.randn(2048).astype(np.float32)
+    wf, bf = str(tmp_path / "fc7_w.pkl"), str(tmp_path / "fc7_b.pkl")
+    with open(wf, "wb") as f:
+        pickle.dump(w, f)
+    with open(bf, "wb") as f:
+        pickle.dump(b, f)
+    new_params, installed = apply_detectron_fc7_weights(params, wf, bf)
+    assert installed == ["obj_faster_rcnn_fc7", "ocr_faster_rcnn_fc7"]
+    for mod in installed:
+        np.testing.assert_array_equal(
+            np.asarray(new_params[mod]["lc"]["weight"]), w
+        )
+        np.testing.assert_array_equal(np.asarray(new_params[mod]["lc"]["bias"]), b)
+    # untouched elsewhere + still runs
+    np.testing.assert_array_equal(
+        np.asarray(new_params["classifier_weight"]),
+        np.asarray(params["classifier_weight"]),
+    )
+    out = model.apply({"params": new_params}, batch, deterministic=True)
+    assert np.isfinite(np.asarray(out["scores"])).all()
+    # "default" encoders have no params -> application is a no-op
+    _, _, _, params_default = _setup()
+    _, installed_default = apply_detectron_fc7_weights(params_default, wf, bf)
+    assert installed_default == []

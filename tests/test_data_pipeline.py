@@ -335,3 +335,86 @@ def test_hash_fallbacks_cross_process_deterministic():
         assert r.returncode == 0, r.stderr
         outs.append(r.stdout)
     assert outs[0] == outs[1]
+
+
+def test_rebase_image_id_path_surgery():
+    """Reference _image_features_reader.py:94-117: scene-text ids rebase
+    onto the LMDB's stored root (components up to the first 'task' part);
+    ocr-vqa stored keys prefix requested ids with their dirname."""
+    from sam_textvqa_tpu.data.features import rebase_image_id
+
+    # ST-VQA: dataset-derived id under a different root than the LMDB keys
+    sample = "/srv/features/scene-text/task3/train/imgs/00001.jpg"
+    req = "/home/user/data/scene-text/task3/train/imgs/00042.jpg"
+    assert rebase_image_id(req, sample) == (
+        "/srv/features/scene-text/task3/train/imgs/00042.jpg"
+    )
+    # relative requested id still rebases from its own 'task' component
+    assert rebase_image_id("scene-text/task_2/x/7.jpg",
+                           "/srv/feat/scene-text/task_2/y/1.jpg") == (
+        "/srv/feat/scene-text/task_2/x/7.jpg"
+    )
+    # OCR-VQA: stored keys are full paths, requested ids bare filenames
+    assert rebase_image_id("5678.jpg", "/data/ocr-vqa/images/1234.jpg") == (
+        "/data/ocr-vqa/images/5678.jpg"
+    )
+    # TextVQA ids (plain image ids) pass through untouched
+    assert rebase_image_id("0054c91f9ffd9477", "0a5b9a7f3b8e2c11") == (
+        "0054c91f9ffd9477"
+    )
+
+
+def test_lmdb_source_resolves_rebased_keys():
+    """LmdbFeatureSource must route lookups through the rebase (unit-tested
+    without the absent ``lmdb`` package by faking the opened state)."""
+    from sam_textvqa_tpu.data.features import LmdbFeatureSource
+
+    src = object.__new__(LmdbFeatureSource)
+    stored = [
+        b"/srv/features/scene-text/task3/imgs/00001.jpg",
+        b"/srv/features/scene-text/task3/imgs/00042.jpg",
+    ]
+    src._image_ids = set(stored)
+    src._sample_id = stored[0].decode()
+    assert "/other/root/scene-text/task3/imgs/00042.jpg" in src
+    assert "/other/root/scene-text/task3/imgs/99999.jpg" not in src
+
+    src2 = object.__new__(LmdbFeatureSource)
+    stored2 = [b"/data/ocr-vqa/images/1234.jpg", b"/data/ocr-vqa/images/5678.jpg"]
+    src2._image_ids = set(stored2)
+    src2._sample_id = stored2[0].decode()
+    assert "5678.jpg" in src2
+    assert "0000.jpg" not in src2
+
+
+def test_epoch_batcher_process_sharding_slicing_invariant(tmp_path):
+    """Per-process slices concatenate to exactly the full-assembly batch —
+    including the rng-sampled supervision (per-row streams keyed by global
+    position), so multi-host sharded input is bit-equal to single-host."""
+    from sam_textvqa_tpu.data.processors import FastTextProcessor
+
+    task = _task(tmp_path)
+    _write_imdb(tmp_path)
+    obj_src, ocr_src = _fake_sources()
+    ds = build_dataset(
+        task, "textvqa", "train", SimpleWordpieceTokenizer(),
+        FastTextProcessor(), _vocab(), obj_src, ocr_src,
+    )
+    full = list(EpochBatcher(ds, 4, shuffle=True, seed=7).epoch_batches())
+    halves = [
+        list(EpochBatcher(ds, 4, shuffle=True, seed=7, process_index=pi,
+                          process_count=2).epoch_batches())
+        for pi in range(2)
+    ]
+    assert len(halves[0]) == len(full)
+    for bi, fb in enumerate(full):
+        assert halves[0][bi]["question_indices"].shape[0] == 2
+        for key in ("question_indices", "targets", "train_prev_inds",
+                    "train_loss_mask", "question_id", "pad_obj_features"):
+            merged = np.concatenate(
+                [halves[0][bi][key], halves[1][bi][key]], axis=0
+            )
+            np.testing.assert_array_equal(merged, fb[key], err_msg=key)
+        # real counts split across the slices sum to the global real count
+        assert (halves[0][bi]["_real_count"] + halves[1][bi]["_real_count"]
+                == fb["_real_count"])

@@ -79,6 +79,60 @@ def test_run_split_beam_reports_vqa_and_anls(setup):
     assert all("topkscore" in p for p in r["predictions"])
 
 
+def test_run_split_beam_per_beam_schema(setup):
+    """Reference beam-evaluator schema parity: every beam decoded and
+    scored (accuracies_df, reference evaluator.py:312-340) with the
+    headline row equal to the argmax-topkscore beam (best_result_df,
+    :344-351)."""
+    task, model, vocab, ds, params = setup
+    ev = Evaluator(model, vocab)
+    r = ev.run_split_beam(
+        params, EpochBatcher(ds, 4, shuffle=False).epoch_batches(), beam_size=3
+    )
+    assert len(r["predictions"]) == 12
+    for p in r["predictions"]:
+        assert len(p["beams"]) == 3
+        scores = [b["topkscore"] for b in p["beams"]]
+        assert p["best_beam"] == int(np.argmax(scores))
+        best = p["beams"][p["best_beam"]]
+        assert p["pred_answer"] == best["pred_answer"]
+        assert p["topkscore"] == best["topkscore"]
+        # gt present in this fixture -> per-beam accuracy attached
+        assert all("accuracy" in b for b in p["beams"])
+        # (B, K, T): BOS + T-1 decoded tokens (see beam_search_decode)
+        assert all(len(b["pred_ids"]) == task.mmt.num_decoding_steps
+                   for b in p["beams"])
+
+
+def test_run_split_dataset_smaller_than_batch(setup):
+    """A split smaller than one batch must still serve a full fixed-shape
+    batch (np.resize tiling in EpochBatcher) and score only the real rows."""
+    task, model, vocab, ds, params = setup
+    tiny = SyntheticDataset(task, 3, num_answers_vocab=len(vocab))
+    batches = list(EpochBatcher(tiny, 8, shuffle=True, seed=3).epoch_batches())
+    assert len(batches) == 1
+    assert batches[0]["question_indices"].shape[0] == 8
+    assert batches[0]["_real_count"] == 3
+    ev = Evaluator(model, vocab)
+    result = ev.run_split(
+        params, EpochBatcher(tiny, 8, shuffle=True, seed=3).epoch_batches()
+    )
+    assert result["num_scored"] == 3 and len(result["predictions"]) == 3
+
+
+def test_evaluator_decode_cache_keyed_on_backend(setup):
+    """Mutating fast_decode/decode_backend after first use must not keep
+    decoding with a stale jitted fn (advisor finding, round 2)."""
+    task, model, vocab, ds, params = setup
+    ev = Evaluator(model, vocab, fast_decode=True)
+    fn_fast = ev._greedy_fn()
+    ev.fast_decode = False
+    fn_slow = ev._greedy_fn()
+    assert fn_fast is not fn_slow
+    ev.fast_decode = True
+    assert ev._greedy_fn() is fn_fast
+
+
 def test_run_split_string_qids(setup, tmp_path):
     """ST-VQA carries string question_ids; the evaluator must keep the real
     identity through GT joins and EvalAI dumps (reference evaluator.py:304-356)

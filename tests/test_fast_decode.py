@@ -272,3 +272,25 @@ def test_unknown_decode_backend_raises(tiny):
     task, model, batch, params = tiny
     with pytest.raises(ValueError, match="unknown decode backend"):
         greedy_decode_fast(model, params, batch, BOS, backend="pallas")
+
+
+def test_seg_lens_validate_rejects_non_contiguous_masks():
+    """The fused/mega backends assume prefix-contiguous masks (advisor
+    finding, round 2); _seg_lens(validate=True) must catch violations."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sam_textvqa_tpu.models.fast_decode import _seg_lens
+
+    ok = {
+        "question_mask": np.array([[1, 1, 0, 0]], np.float32),
+        "pad_obj_mask": np.array([[1, 0, 0]], np.float32),
+        "pad_ocr_mask": np.array([[1, 1, 1]], np.float32),
+    }
+    out = np.asarray(_seg_lens(ok, validate=True))
+    assert out[0, :3].tolist() == [2.0, 1.0, 3.0]
+
+    bad = dict(ok)
+    bad["pad_obj_mask"] = np.array([[1, 0, 1]], np.float32)
+    with _pytest.raises(AssertionError, match="prefix-contiguous"):
+        _seg_lens(bad, validate=True)

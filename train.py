@@ -212,13 +212,23 @@ def build_datasets(task_cfg, args, vocab):
 
     workers = min(task_cfg.num_workers, os.cpu_count() or 1)
 
+    import jax as _jax
+
     def batcher(ds, train):
         if ds is None:
             return None
+        # multi-host: the train batcher assembles only this process's row
+        # slice (O(global_batch / hosts) host work); eval stays full-batch
+        # per process (the decode path runs on local devices)
+        nproc = _jax.process_count() if train else 1
+        if batch_size % nproc != 0:
+            nproc = 1  # fall back to redundant full-batch assembly
         return EpochBatcher(
             ds, batch_size, shuffle=train,
             seed=task_cfg.seed if train else 0, num_workers=workers,
             supervised=train,  # val/test are decode-only (no targets built)
+            process_index=_jax.process_index() if nproc > 1 else 0,
+            process_count=nproc,
         )
 
     return batcher(train_ds, True), batcher(val_ds, False), batcher(test_ds, False)
@@ -286,6 +296,26 @@ def main():
     )()
     n_params = sum(p.size for p in jax.tree.leaves(params))
     logger.info("training parameters: %d", n_params)
+
+    # finetune-frcn encoders start from pickled detectron fc7 weights
+    # (reference textvqa_encoders.py:46-57, loaded at construction there)
+    if task_cfg.mmt.frcn_encoder_type == "finetune_faster_rcnn_fpn_fc7":
+        wf = task_cfg.mmt.detectron_weights_file
+        bf = task_cfg.mmt.detectron_bias_file
+        if wf and bf and os.path.exists(wf) and os.path.exists(bf):
+            from sam_textvqa_tpu.models.encoders import (
+                apply_detectron_fc7_weights,
+            )
+
+            params, installed = apply_detectron_fc7_weights(params, wf, bf)
+            logger.info("detectron fc7 weights installed into %s", installed)
+        else:
+            logger.warning(
+                "frcn_encoder_type=finetune_faster_rcnn_fpn_fc7 but no "
+                "detectron weight files found (%r, %r) — encoders start "
+                "random; the reference loads pickled detectron fc7 weights.",
+                wf, bf,
+            )
 
     # reference initializes the question encoder from bert-base-uncased
     # (reference sa_m4c.py:75-82); only relevant when training from scratch.

@@ -176,3 +176,33 @@ def test_sharded_greedy_decode_matches_single_device():
         np.asarray(scores_mesh), np.asarray(scores_single),
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_sharded_beam_decode_matches_single_device():
+    """Beam search under DP x TP sharding must reproduce single-device
+    sequences and scores (the greedy analogue above; round-2 VERDICT asked
+    for the beam path too)."""
+    from sam_textvqa_tpu.models.fast_decode import beam_search_decode_fast
+
+    task, model, batch, params, _ = _setup(batch_size=8)
+
+    @jax.jit
+    def beam(p, b):
+        return beam_search_decode_fast(model, p, b, 3, 1, 2)
+
+    seqs_single, scores_single = beam(params, batch)
+
+    mesh = make_mesh(8, model_parallel=2)
+    p_shard = shard_params(params, mesh, tensor_parallel=True)
+    params_m = jax.device_put(params, p_shard)
+    bs = batch_sharding(mesh)
+    batch_m = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    seqs_mesh, scores_mesh = beam(params_m, batch_m)
+
+    np.testing.assert_array_equal(
+        np.asarray(seqs_mesh), np.asarray(seqs_single)
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores_mesh), np.asarray(scores_single),
+        rtol=2e-4, atol=2e-4,
+    )

@@ -36,6 +36,9 @@ PRNG = os.environ.get("BENCH_PRNG", "threefry")
 # BENCH_ATTN=pallas A/Bs the fused spatial-attention kernel
 # (ops/fused_attention.py) against the default XLA path
 ATTN = os.environ.get("BENCH_ATTN", "xla")
+# BENCH_DROPOUT_REUSE=0 disables per-site-type dropout mask reuse across
+# the 6 MMT layers (config.dropout_mask_reuse) for A/B runs
+DROPOUT_REUSE = os.environ.get("BENCH_DROPOUT_REUSE", "1") == "1"
 V5E_BF16_PEAK_FLOPS = 197e12  # per chip (TPU v5e spec)
 
 
@@ -77,6 +80,12 @@ def main():
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "configs/train-tvqa-eval-tvqa-c3.yml")
     )
+    if DROPOUT_REUSE and MODE == "train":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, mmt=dataclasses.replace(cfg.mmt, dropout_mask_reuse=True)
+        )
     num_answers = 5000
     model = SAM4C(
         params_cfg=SAM4CParams(cfg.mmt, cfg.text_bert, num_answers),

@@ -112,6 +112,14 @@ class MMTConfig:
     spatial_type: str = "top"
     use_bias: bool = False
     no_drop: bool = False
+    # reuse one dropout mask per SITE TYPE (attention probs / self-output /
+    # FFN-output) across the 6 MMT layers instead of drawing fresh bits per
+    # layer: implemented by handing every layer the same dropout RNG so XLA
+    # CSEs the identical bernoulli draws — ~5/6 of the dropout RNG work
+    # disappears. Masks stay independent across sites, steps, and examples;
+    # only the across-LAYER correlation changes vs the reference
+    # (measured loss-curve impact: SCALING.md "dropout mask reuse").
+    dropout_mask_reuse: bool = False
 
     @property
     def joint_length(self) -> int:

@@ -70,7 +70,7 @@ class BertSelfAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, bias, deterministic=True):
+    def __call__(self, x, bias, deterministic=True, shared_rngs=None):
         b, l, d = x.shape
         h = self.num_heads
         hd = self.hidden_size // h
@@ -85,12 +85,14 @@ class BertSelfAttention(nn.Module):
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(
             self.dtype
         )
+        shared = (shared_rngs or {}).get("attn")
         probs = masked_softmax_attention(
             scores,
             bias,
             dropout_rate=self.dropout_rate,
             deterministic=deterministic,
-            module=self,
+            dropout_rng=shared,
+            module=None if shared is not None else self,
         )
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         return ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
@@ -103,10 +105,10 @@ class BertSelfOutput(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, residual, deterministic=True):
+    def __call__(self, hidden, residual, deterministic=True, rng=None):
         hidden = Dense(self.hidden_size, dtype=self.dtype, name="dense")(hidden)
         hidden = nn.Dropout(rate=self.hidden_dropout_prob)(
-            hidden, deterministic=deterministic
+            hidden, deterministic=deterministic, rng=rng
         )
         return LayerNormTF(
             epsilon=self.layer_norm_eps, dtype=self.dtype, name="LayerNorm"
@@ -125,21 +127,22 @@ class BertLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, bias, deterministic=True):
+    def __call__(self, x, bias, deterministic=True, shared_rngs=None):
+        shared_rngs = shared_rngs or {}
         attn = BertSelfAttention(
             hidden_size=self.hidden_size,
             num_heads=self.num_heads,
             dropout_rate=self.attention_probs_dropout_prob,
             dtype=self.dtype,
             name="attention_self",
-        )(x, bias, deterministic)
+        )(x, bias, deterministic, shared_rngs=shared_rngs)
         attn_out = BertSelfOutput(
             hidden_size=self.hidden_size,
             hidden_dropout_prob=self.hidden_dropout_prob,
             layer_norm_eps=self.layer_norm_eps,
             dtype=self.dtype,
             name="attention_output",
-        )(attn, x, deterministic)
+        )(attn, x, deterministic, rng=shared_rngs.get("self_out"))
         inter = gelu_erf(
             Dense(self.intermediate_size, dtype=self.dtype, name="intermediate_dense")(
                 attn_out
@@ -147,7 +150,7 @@ class BertLayer(nn.Module):
         )
         out = Dense(self.hidden_size, dtype=self.dtype, name="output_dense")(inter)
         out = nn.Dropout(rate=self.hidden_dropout_prob)(
-            out, deterministic=deterministic
+            out, deterministic=deterministic, rng=shared_rngs.get("ffn_out")
         )
         return LayerNormTF(
             epsilon=self.layer_norm_eps, dtype=self.dtype, name="output_LayerNorm"

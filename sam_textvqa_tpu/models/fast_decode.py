@@ -89,9 +89,10 @@ def _attention(q, k, v, bias, zero_fully_masked):
     scores = scores + bias.astype(scores.dtype)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     if zero_fully_masked:
-        row_alive = (jnp.max(bias, axis=-1, keepdims=True) + (-MASK_BIAS)) / (
-            -MASK_BIAS
-        )
+        # dtype-robust aliveness: any key with bias above MASK_BIAS/2 keeps
+        # the row (a bf16 bias rounds -10000 to -9984, so the old exact
+        # (max+10000)/10000 arithmetic would leak 0.0016 into dead rows)
+        row_alive = jnp.max(bias, axis=-1, keepdims=True) > (MASK_BIAS / 2)
         probs = probs * row_alive.astype(probs.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
@@ -127,7 +128,12 @@ def _enc_spatial_bias(classes, lut, col_bias, q_len, n_ctx, quadrants, h,
         mask_quadrants=tuple(quadrants), num_spatial_heads=h,
         num_implicit_heads=num_implicit,
     )
-    bias = jnp.where(allowed, 0.0, MASK_BIAS)
+    # bias dtype follows the activations: the (B, 12, 170, 170) tensor is
+    # ~130 MB at batch 96 in f32 — halving it (bf16 in production) halves
+    # the HBM traffic of its one write + four spatial-layer reads. A bf16
+    # -10000 rounds to -9984, which still underflows exp() to exactly 0.0
+    # in the f32 softmax, so masked keys contribute nothing either way.
+    bias = jnp.where(allowed, 0.0, MASK_BIAS).astype(col_bias.dtype)
     return jnp.minimum(bias, col_bias)  # combine with padding mask
 
 
@@ -212,7 +218,7 @@ def build_mmt_cache(
 
     x = jnp.concatenate([text_bert_emb, obj_mmt_in, ocr_mmt_in], axis=1)
     col_mask = jnp.concatenate([question_mask, obj_mask, ocr_mask], axis=1)
-    col_bias = ((1.0 - col_mask) * MASK_BIAS)[:, None, None, :]
+    col_bias = ((1.0 - col_mask) * MASK_BIAS)[:, None, None, :].astype(x.dtype)
 
     spatial_bias = {}
 
@@ -251,9 +257,8 @@ def build_mmt_cache(
             zero_rows = True
         h = _layer_heads(cfg, layer_type)
         ap = lp["attention_self"]
-        k_flat = _dense(ap["key"], x)
-        v_flat = _dense(ap["value"], x)
-        q = _split_heads(_dense(ap["query"], x), h)
+        q_flat, k_flat, v_flat = _qkv_fused(ap, x)
+        q = _split_heads(q_flat, h)
         k = _split_heads(k_flat, h)
         v = _split_heads(v_flat, h)
         enc_kv.append((k, v))
@@ -370,9 +375,9 @@ def decode_rows(
                 [jnp.broadcast_to(enc_bias_l, scores_enc.shape),
                  jnp.broadcast_to(dec_bias_l, scores_dec.shape)], axis=-1
             )
-            row_alive = (
-                jnp.max(full_bias, axis=-1, keepdims=True) + (-MASK_BIAS)
-            ) / (-MASK_BIAS)
+            row_alive = jnp.max(full_bias, axis=-1, keepdims=True) > (
+                MASK_BIAS / 2
+            )  # dtype-robust (bf16 rounds -10000 to -9984)
             probs = probs * row_alive.astype(probs.dtype)
         le = k_enc.shape[2]
         ctx = jnp.einsum(
@@ -494,9 +499,9 @@ def _decode_one_row(params, cfg: MMTConfig, cache: MMTCache,
                 [jnp.broadcast_to(enc_bias_l, scores_enc.shape),
                  jnp.broadcast_to(dec_bias_l, scores_dec.shape)], axis=-1
             )
-            row_alive = (
-                jnp.max(full_bias, axis=-1, keepdims=True) + (-MASK_BIAS)
-            ) / (-MASK_BIAS)
+            row_alive = jnp.max(full_bias, axis=-1, keepdims=True) > (
+                MASK_BIAS / 2
+            )  # dtype-robust (bf16 rounds -10000 to -9984)
             probs = probs * row_alive.astype(probs.dtype)
         le = k_enc.shape[2]
         ctx = jnp.einsum(
@@ -778,9 +783,9 @@ def _decode_one_row_beams(params, cfg: MMTConfig, cache: MMTCache,
                 [jnp.broadcast_to(enc_bias_l, scores_enc.shape),
                  jnp.broadcast_to(dec_bias_l, scores_dec.shape)], axis=-1
             )
-            row_alive = (
-                jnp.max(full_bias, axis=-1, keepdims=True) + (-MASK_BIAS)
-            ) / (-MASK_BIAS)
+            row_alive = jnp.max(full_bias, axis=-1, keepdims=True) > (
+                MASK_BIAS / 2
+            )  # dtype-robust (bf16 rounds -10000 to -9984)
             probs = probs * row_alive.astype(probs.dtype)
         le = k_enc.shape[2]
         ctx = jnp.einsum(

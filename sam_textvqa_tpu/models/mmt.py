@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Dict, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -174,6 +175,19 @@ class MMT(nn.Module):
         # removed, see ops/fused_attention.py), so training silently uses xla
         use_pallas = self.attention_backend == "pallas" and deterministic
 
+        # dropout mask reuse (config.dropout_mask_reuse): every layer gets
+        # the SAME per-site-type dropout RNG, so the bernoulli draws are
+        # identical HLO and XLA CSEs 6 layers' worth of RNG work into one
+        # draw per site type. Masks remain independent across site types,
+        # steps, and examples.
+        shared_rngs = None
+        if not deterministic and cfg.dropout_mask_reuse:
+            base = self.make_rng("dropout")
+            shared_rngs = {
+                name: jax.random.fold_in(base, i)
+                for i, name in enumerate(("attn", "self_out", "ffn_out"))
+            }
+
         # combined boolean masks per spatial context key, built once
         # (skipped entirely on the pallas path — the kernel rebuilds the
         # bias in VMEM from the class matrix)
@@ -227,7 +241,7 @@ class MMT(nn.Module):
                     layer_norm_eps=cfg.layer_norm_eps,
                     dtype=self.dtype,
                     name=f"normal_layer_{n_i}",
-                )(x, base_bias, deterministic)
+                )(x, base_bias, deterministic, shared_rngs=shared_rngs)
                 n_i += 1
             elif layer_type == "s":
                 cache_key = (MATRIX_TYPE_MAP[mix], "s")
@@ -246,6 +260,7 @@ class MMT(nn.Module):
                     combined.get(cache_key),
                     deterministic,
                     pallas_ctx=pallas_ctxs.get(cache_key),
+                    shared_rngs=shared_rngs,
                 )
                 s_i += 1
             elif layer_type == "i":
@@ -259,7 +274,8 @@ class MMT(nn.Module):
                     use_head_bias=cfg.use_bias,
                     dtype=self.dtype,
                     name=f"implicit_layer_{i_i}",
-                )(x, combined[(MATRIX_TYPE_MAP[mix], "i")], deterministic)
+                )(x, combined[(MATRIX_TYPE_MAP[mix], "i")], deterministic,
+                  shared_rngs=shared_rngs)
                 i_i += 1
             else:
                 raise ValueError(layer_type)

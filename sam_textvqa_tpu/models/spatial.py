@@ -134,7 +134,8 @@ class SpatialBertSelfAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, combined_ok, deterministic=True, pallas_ctx=None):
+    def __call__(self, x, combined_ok, deterministic=True, pallas_ctx=None,
+                 shared_rngs=None):
         b, l, d = x.shape
         h = self.num_heads
         hd = self.hidden_size // h
@@ -174,13 +175,15 @@ class SpatialBertSelfAttention(nn.Module):
                 self.dtype
             )
             bias = jnp.where(combined_ok, 0.0, MASK_BIAS).astype(jnp.float32)
+            shared = (shared_rngs or {}).get("attn")
             probs = masked_softmax_attention(
                 scores,
                 bias,
                 zero_fully_masked=True,
                 dropout_rate=self.dropout_rate,
                 deterministic=deterministic,
-                module=self,
+                dropout_rng=shared,
+                module=None if shared is not None else self,
             )
             ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
@@ -208,10 +211,12 @@ class SpatialBertLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, combined_ok, deterministic=True, pallas_ctx=None):
+    def __call__(self, x, combined_ok, deterministic=True, pallas_ctx=None,
+                 shared_rngs=None):
         from .bert import BertSelfOutput
         from .layers import LayerNormTF, gelu_erf
 
+        shared_rngs = shared_rngs or {}
         attn = SpatialBertSelfAttention(
             hidden_size=self.hidden_size,
             num_heads=self.num_heads,
@@ -219,14 +224,15 @@ class SpatialBertLayer(nn.Module):
             use_head_bias=self.use_head_bias,
             dtype=self.dtype,
             name="attention_self",
-        )(x, combined_ok, deterministic, pallas_ctx=pallas_ctx)
+        )(x, combined_ok, deterministic, pallas_ctx=pallas_ctx,
+          shared_rngs=shared_rngs)
         attn_out = BertSelfOutput(
             hidden_size=self.hidden_size,
             hidden_dropout_prob=self.hidden_dropout_prob,
             layer_norm_eps=self.layer_norm_eps,
             dtype=self.dtype,
             name="attention_output",
-        )(attn, x, deterministic)
+        )(attn, x, deterministic, rng=shared_rngs.get("self_out"))
         inter = gelu_erf(
             Dense(self.intermediate_size, dtype=self.dtype, name="intermediate_dense")(
                 attn_out
@@ -234,7 +240,7 @@ class SpatialBertLayer(nn.Module):
         )
         out = Dense(self.hidden_size, dtype=self.dtype, name="output_dense")(inter)
         out = nn.Dropout(rate=self.hidden_dropout_prob)(
-            out, deterministic=deterministic
+            out, deterministic=deterministic, rng=shared_rngs.get("ffn_out")
         )
         return LayerNormTF(
             epsilon=self.layer_norm_eps, dtype=self.dtype, name="output_LayerNorm"

@@ -260,3 +260,70 @@ def test_aux_heads_forward():
     out = model.apply({"params": params}, batch, deterministic=True)
     n = mmt.obj_ocr_length
     assert out["spatial_head_out"].shape == (2, n, n, 12)
+
+
+def test_dropout_mask_reuse_mechanism_and_determinism():
+    """dropout_mask_reuse hands every MMT layer the same per-site-type
+    dropout RNG. The mechanism: same rng + same shape -> identical mask
+    (verified on the building blocks), and the deterministic forward is
+    bit-identical with the flag on or off (reuse only affects training
+    stochasticity)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sam_textvqa_tpu.config import task_config_from_dict
+    from sam_textvqa_tpu.data.synthetic import device_batch, make_batch
+    from sam_textvqa_tpu.models.layers import masked_softmax_attention
+    from sam_textvqa_tpu.models.sa_m4c import SAM4C, SAM4CParams
+
+    # building block: explicit dropout_rng makes the draw a pure function
+    rng = jax.random.PRNGKey(3)
+    scores = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 8, 8))
+    bias = jnp.zeros((2, 4, 8, 8))
+    a = masked_softmax_attention(
+        scores, bias, dropout_rate=0.5, deterministic=False, dropout_rng=rng
+    )
+    b = masked_softmax_attention(
+        scores, bias, dropout_rate=0.5, deterministic=False, dropout_rng=rng
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = masked_softmax_attention(
+        scores, bias, dropout_rate=0.5, deterministic=False,
+        dropout_rng=jax.random.PRNGKey(4),
+    )
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+    # end to end: flag changes nothing deterministically, trains finite
+    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 1}})
+    mmt = dataclasses.replace(
+        cfg.mmt, hidden_size=48, intermediate_size=96, ptr_query_size=48,
+        max_obj_num=8, max_ocr_num=6, num_decoding_steps=4, max_seq_length=6,
+    )
+    tb = dataclasses.replace(
+        cfg.text_bert, hidden_size=48, intermediate_size=96, num_attention_heads=4
+    )
+    task = dataclasses.replace(cfg, mmt=mmt, text_bert=tb)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in device_batch(make_batch(task, 2, num_answers_vocab=32)).items()
+    }
+    m_off = SAM4C(params_cfg=SAM4CParams(mmt, tb, 32))
+    m_on = SAM4C(
+        params_cfg=SAM4CParams(
+            dataclasses.replace(mmt, dropout_mask_reuse=True), tb, 32
+        )
+    )
+    params = m_off.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    out_off = m_off.apply({"params": params}, batch, deterministic=True)
+    out_on = m_on.apply({"params": params}, batch, deterministic=True)
+    np.testing.assert_array_equal(
+        np.asarray(out_off["scores"]), np.asarray(out_on["scores"])
+    )
+    train_out = m_on.apply(
+        {"params": params}, batch, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    assert np.isfinite(np.asarray(train_out["scores"])).all()

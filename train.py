@@ -71,8 +71,16 @@ def get_args():
         help="threefry (default; non-partitionable lowering, ~24%% faster "
         "dropout on a single host — forced back to partitionable under "
         "--multihost); threefry_partitionable (sharding-friendly stream); "
-        "rbg (hardware RNG, fastest but faults the TPU worker under "
-        "sustained load on the current libtpu)",
+        "rbg (hardware RNG, fastest — faulted the round-1/2 libtpu under "
+        "sustained load; survived a 300-step soak on the current one, "
+        "SCALING.md)",
+    )
+    parser.add_argument(
+        "--dropout_reuse", action="store_true",
+        help="reuse one dropout mask per site type across the 6 MMT layers "
+        "(+5.6%% train throughput; across-layer mask correlation deviates "
+        "from the reference — loss-curve A/B in SCALING.md). Equivalent to "
+        "SA-M4C.dropout_mask_reuse: true in the YAML.",
     )
     parser.add_argument(
         "--multihost", action="store_true",
@@ -260,6 +268,11 @@ def main():
     seed = args.seed if args.seed is not None else task_cfg.seed
     if seed != task_cfg.seed:
         task_cfg = dataclasses.replace(task_cfg, seed=seed)
+    if args.dropout_reuse and not task_cfg.mmt.dropout_mask_reuse:
+        task_cfg = dataclasses.replace(
+            task_cfg,
+            mmt=dataclasses.replace(task_cfg.mmt, dropout_mask_reuse=True),
+        )
     random.seed(seed)
     np.random.seed(seed)
 

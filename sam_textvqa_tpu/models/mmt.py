@@ -228,6 +228,12 @@ class MMT(nn.Module):
             )
             combined[cache_key] = allowed & base_ok
 
+        # no_drop zeroes ONLY the spatial/implicit layers' attention-probs
+        # dropout (reference sa_m4c.py:434-436 — the override lives inside
+        # SpatialBertSelfAttention; normal layers and all hidden dropouts
+        # keep their configured rates)
+        spatial_attn_drop = 0.0 if cfg.no_drop else cfg.attention_probs_dropout_prob
+
         # interleave layers per layer_type_list (reference :738-752)
         n_i = s_i = i_i = 0
         for layer_type, mix in zip(cfg.layer_type_list, cfg.mix_list):
@@ -250,7 +256,7 @@ class MMT(nn.Module):
                     num_heads=cfg.num_spatial_relations,
                     intermediate_size=cfg.intermediate_size,
                     hidden_dropout_prob=cfg.hidden_dropout_prob,
-                    attention_probs_dropout_prob=cfg.attention_probs_dropout_prob,
+                    attention_probs_dropout_prob=spatial_attn_drop,
                     layer_norm_eps=cfg.layer_norm_eps,
                     use_head_bias=cfg.use_bias,
                     dtype=self.dtype,
@@ -269,7 +275,7 @@ class MMT(nn.Module):
                     num_heads=cfg.num_spatial_relations + cfg.num_implicit_relations,
                     intermediate_size=cfg.intermediate_size,
                     hidden_dropout_prob=cfg.hidden_dropout_prob,
-                    attention_probs_dropout_prob=cfg.attention_probs_dropout_prob,
+                    attention_probs_dropout_prob=spatial_attn_drop,
                     layer_norm_eps=cfg.layer_norm_eps,
                     use_head_bias=cfg.use_bias,
                     dtype=self.dtype,

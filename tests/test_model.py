@@ -327,3 +327,47 @@ def test_dropout_mask_reuse_mechanism_and_determinism():
         rngs={"dropout": jax.random.PRNGKey(1)},
     )
     assert np.isfinite(np.asarray(train_out["scores"])).all()
+
+
+def test_no_drop_zeroes_spatial_attention_dropout_only():
+    """no_drop zeroes ONLY the spatial/implicit attention-probs dropout
+    (reference sa_m4c.py:434-436). With every other dropout rate set to 0
+    and attention dropout at 0.5, a no_drop train-mode forward must equal
+    the deterministic forward, while the same config without no_drop must
+    not (its spatial attention dropout still fires)."""
+    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 1}})
+    common = dict(
+        hidden_size=48, intermediate_size=96, ptr_query_size=48,
+        max_obj_num=8, max_ocr_num=6, num_decoding_steps=4, max_seq_length=6,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.5,
+        obj_drop=0.0, ocr_drop=0.0,
+        layer_type_list=("s", "s"), mix_list=("share3", "share3"),
+    )
+    tb = dataclasses.replace(
+        cfg.text_bert, hidden_size=48, intermediate_size=96,
+        num_attention_heads=4, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    task = dataclasses.replace(
+        cfg, mmt=dataclasses.replace(cfg.mmt, **common), text_bert=tb
+    )
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in device_batch(make_batch(task, 2, num_answers_vocab=32)).items()
+    }
+
+    def outputs(no_drop):
+        mmt = dataclasses.replace(task.mmt, no_drop=no_drop)
+        model = SAM4C(params_cfg=SAM4CParams(mmt, tb, 32))
+        params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+        det = model.apply({"params": params}, batch, deterministic=True)
+        trn = model.apply(
+            {"params": params}, batch, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(5)},
+        )
+        return np.asarray(det["scores"]), np.asarray(trn["scores"])
+
+    det_nd, trn_nd = outputs(no_drop=True)
+    np.testing.assert_array_equal(det_nd, trn_nd)
+    det_d, trn_d = outputs(no_drop=False)
+    assert not np.array_equal(det_d, trn_d)

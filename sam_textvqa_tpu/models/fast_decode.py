@@ -128,12 +128,10 @@ def _enc_spatial_bias(classes, lut, col_bias, q_len, n_ctx, quadrants, h,
         mask_quadrants=tuple(quadrants), num_spatial_heads=h,
         num_implicit_heads=num_implicit,
     )
-    # bias dtype follows the activations: the (B, 12, 170, 170) tensor is
-    # ~130 MB at batch 96 in f32 — halving it (bf16 in production) halves
-    # the HBM traffic of its one write + four spatial-layer reads. A bf16
-    # -10000 rounds to -9984, which still underflows exp() to exactly 0.0
-    # in the f32 softmax, so masked keys contribute nothing either way.
-    bias = jnp.where(allowed, 0.0, MASK_BIAS).astype(col_bias.dtype)
+    # f32 on purpose — a bf16 bias MEASURED SLOWER (3195 vs 3232
+    # samples/s greedy @96): the construction fuses into its consumers
+    # either way, and the extra converts cost more than the saved reads.
+    bias = jnp.where(allowed, 0.0, MASK_BIAS)
     return jnp.minimum(bias, col_bias)  # combine with padding mask
 
 
@@ -218,7 +216,7 @@ def build_mmt_cache(
 
     x = jnp.concatenate([text_bert_emb, obj_mmt_in, ocr_mmt_in], axis=1)
     col_mask = jnp.concatenate([question_mask, obj_mask, ocr_mask], axis=1)
-    col_bias = ((1.0 - col_mask) * MASK_BIAS)[:, None, None, :].astype(x.dtype)
+    col_bias = ((1.0 - col_mask) * MASK_BIAS)[:, None, None, :]
 
     spatial_bias = {}
 
@@ -257,8 +255,14 @@ def build_mmt_cache(
             zero_rows = True
         h = _layer_heads(cfg, layer_type)
         ap = lp["attention_self"]
-        q_flat, k_flat, v_flat = _qkv_fused(ap, x)
-        q = _split_heads(q_flat, h)
+        # separate Q/K/V matmuls on purpose: _qkv_fused here MEASURED
+        # SLOWER (3232 vs 3380 samples/s greedy @96) — at (B,170,768) the
+        # three GEMMs are MXU-bound and the fused path pays a weight-concat
+        # copy plus a 3-way output split. Fusion only wins on the
+        # dispatch-bound one-row decode steps below.
+        k_flat = _dense(ap["key"], x)
+        v_flat = _dense(ap["value"], x)
+        q = _split_heads(_dense(ap["query"], x), h)
         k = _split_heads(k_flat, h)
         v = _split_heads(v_flat, h)
         enc_kv.append((k, v))

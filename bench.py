@@ -36,6 +36,9 @@ PRNG = os.environ.get("BENCH_PRNG", "threefry")
 # BENCH_ATTN=pallas A/Bs the fused spatial-attention kernel
 # (ops/fused_attention.py) against the default XLA path
 ATTN = os.environ.get("BENCH_ATTN", "xla")
+# BENCH_DECODE selects the eval decode backend
+# (auto | xla | xla_flat | fused | mega)
+DECODE = os.environ.get("BENCH_DECODE", "auto")
 # BENCH_DROPOUT_REUSE=1 enables per-site-type dropout mask reuse across
 # the 6 MMT layers (config.dropout_mask_reuse): +5.6% throughput, but the
 # loss-curve A/B showed the correlated masks measurably weaken
@@ -140,7 +143,7 @@ def main():
             if MODE == "beam":
                 seqs, _ = beam_search_decode_fast(model, p, b, BEAM, 1, 2)
                 return seqs[:, 0, :]
-            _, pred = greedy_decode_fast(model, p, b, 1)
+            _, pred = greedy_decode_fast(model, p, b, 1, backend=DECODE)
             return pred
 
         carry = jnp.zeros(

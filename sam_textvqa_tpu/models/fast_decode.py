@@ -522,6 +522,109 @@ def _decode_one_row(params, cfg: MMTConfig, cache: MMTCache,
     )
 
 
+def _decode_one_row_flat(params, cfg: MMTConfig, cache: MMTCache,
+                         classifier_weight, ptr_keys, x, dec_kv, t):
+    """One decoder row via head-FLAT K/V layouts: enc (B, Le, D), dec
+    (B, T, D).
+
+    The headed (B, H, Le, hd=64) cache layout pads hd to the TPU's 128
+    lanes in HBM, doubling the dominant per-step read (the same layout
+    observation that motivated ``store_flat`` for the pallas kernels).
+    Here the per-head scores/contexts are expressed as bitcast reshapes of
+    the flat buffers (minor-dim split D -> (H, hd)) plus fused elementwise
+    multiply-reduce, so the encoder K/V streams through unpadded and no
+    headed copy of it ever exists. Math identical to
+    :func:`_decode_one_row` (same softmax/zeroing semantics; exact in f32,
+    tests/test_fast_decode.py).
+
+    MEASURED SLOWER on v5e: 2796 vs 3380 samples/s greedy @96 — the
+    multiply-reduce runs on the VPU where the einsum path rides the MXU,
+    and the saved HBM bytes don't cover the difference. Kept as the
+    opt-in ``backend="xla_flat"`` A/B baseline (SCALING.md negative
+    results)."""
+    mmt_p = params["mmt"]
+    b = x.shape[0]
+    d = cfg.hidden_size
+    t_max = cfg.num_decoding_steps
+    # additive bias over the T decoder key slots: only positions <= t visible
+    dec_col_bias = jnp.where(
+        jnp.arange(t_max)[None, None, :] <= t, 0.0, MASK_BIAS
+    )  # (1, 1, T)
+
+    new_dec_kv = []
+    for li, layer_type, lp in _iter_layer_params(cfg, mmt_p):
+        h = _layer_heads(cfg, layer_type)
+        hd = d // h
+        ap = lp["attention_self"]
+        q_p, k_p, v_p = _qkv_fused(ap, x)  # (B, 1, D) each, head-flat
+        k_buf, v_buf = dec_kv[li]          # (B, T, D) head-flat
+        k_buf = jax.lax.dynamic_update_slice_in_dim(
+            k_buf, k_p.astype(k_buf.dtype), t, axis=1
+        )
+        v_buf = jax.lax.dynamic_update_slice_in_dim(
+            v_buf, v_p.astype(v_buf.dtype), t, axis=1
+        )
+        new_dec_kv.append((k_buf, v_buf))
+        k_enc, v_enc = cache.enc_kv_flat[li]  # (B, Le, D)
+        le = k_enc.shape[1]
+        scale = jnp.asarray(1.0 / np.sqrt(hd), q_p.dtype)
+        q4 = q_p.reshape(b, 1, h, hd)
+        # (q * K) -> segment-reduce the minor hd slice per head: one
+        # unpadded pass over the flat K; the (B, Le, H, hd) product never
+        # materializes (fused into the reduce)
+        scores_enc = (
+            (q4 * k_enc.reshape(b, le, h, hd)).sum(-1).transpose(0, 2, 1)
+            * scale
+        )  # (B, H, Le)
+        scores_dec = (
+            (q4 * k_buf.reshape(b, t_max, h, hd).astype(q_p.dtype))
+            .sum(-1).transpose(0, 2, 1) * scale
+        )  # (B, H, T)
+        enc_bias_l = cache.enc_bias_cols[:, 0]  # (B, 1, Le)
+        dec_bias_l = dec_col_bias               # (1, 1, T)
+        if cache.spatial_dec_masked[li]:
+            # quadrants 7/8/9 cut the spatial heads' decoder rows
+            qe, qd_ = _dec_quadrant_bias(
+                cfg, layer_type, tuple(cfg.attention_mask_quadrants)
+            )
+            enc_bias_l = jnp.minimum(enc_bias_l, jnp.asarray(qe)[None])
+            dec_bias_l = jnp.minimum(dec_bias_l, jnp.asarray(qd_)[None])
+        scores = jnp.concatenate(
+            [scores_enc + enc_bias_l.astype(scores_enc.dtype),
+             scores_dec + jnp.broadcast_to(
+                 dec_bias_l, scores_dec.shape
+             ).astype(scores_dec.dtype)], axis=-1
+        )  # (B, H, Le + T)
+        probs = jax.nn.softmax(
+            scores.astype(jnp.float32), axis=-1
+        ).astype(q_p.dtype)
+        if cache.spatial_dec_masked[li]:
+            full_bias = jnp.concatenate(
+                [jnp.broadcast_to(enc_bias_l, scores_enc.shape),
+                 jnp.broadcast_to(dec_bias_l, scores_dec.shape)], axis=-1
+            )
+            row_alive = jnp.max(full_bias, axis=-1, keepdims=True) > (
+                MASK_BIAS / 2
+            )  # dtype-robust (bf16 rounds -10000 to -9984)
+            probs = probs * row_alive.astype(probs.dtype)
+        # ctx: per-head probs broadcast over the hd slice of the flat V —
+        # again one unpadded pass per buffer
+        pe = probs[..., :le].transpose(0, 2, 1)[..., None]  # (B, Le, H, 1)
+        pd = probs[..., le:].transpose(0, 2, 1)[..., None]  # (B, T, H, 1)
+        ctx = (pe * v_enc.reshape(b, le, h, hd)).sum(axis=1) + (
+            pd * v_buf.reshape(b, t_max, h, hd).astype(q_p.dtype)
+        ).sum(axis=1)  # (B, H, hd)
+        ctx = ctx.reshape(b, 1, d)
+        op = lp["attention_output"]
+        attn_out = _layernorm(op["LayerNorm"], _dense(op["dense"], ctx) + x)
+        x = _ffn(lp, attn_out, attn_out)
+
+    return (
+        _output_head(params, classifier_weight, ptr_keys, x)[:, 0],
+        tuple(new_dec_kv),
+    )
+
+
 def _mega_supported(cfg: MMTConfig, cache: MMTCache) -> bool:
     """The per-step megakernel additionally needs one uniform head dim
     across layers (single static hd for the whole grid)."""
@@ -828,10 +931,10 @@ def greedy_decode_fast(model, params, batch, bos_idx: int,
     """
     from .sa_m4c import SAM4C
 
-    if backend not in ("auto", "xla", "fused", "mega"):
+    if backend not in ("auto", "xla", "xla_flat", "fused", "mega"):
         raise ValueError(
             f"unknown decode backend {backend!r} "
-            "(expected auto | xla | fused | mega)"
+            "(expected auto | xla | xla_flat | fused | mega)"
         )
     cfg = model.params_cfg.mmt
     t_max = cfg.num_decoding_steps
@@ -848,10 +951,11 @@ def greedy_decode_fast(model, params, batch, bos_idx: int,
         batch["pad_obj_mask"].astype(jnp.float32),
         batch["pad_ocr_mask"].astype(jnp.float32),
         batch["spatial_classes"],
-        store_flat=backend in ("fused", "mega"),
+        store_flat=backend in ("fused", "mega", "xla_flat"),
     )
     use_fused = backend == "fused" and _fused_supported(cfg, cache)
     use_mega = backend == "mega" and _mega_supported(cfg, cache)
+    use_flat = backend == "xla_flat"  # pure XLA, no config restrictions
     if backend == "fused" and not use_fused:
         raise ValueError(
             "fused decode kernel unsupported for this config (needs "
@@ -888,8 +992,8 @@ def greedy_decode_fast(model, params, batch, bos_idx: int,
         )
 
     def kv_buf(layer_type):
-        if use_fused:
-            # head-flat buffers for the kernel (B, T, D)
+        if use_fused or use_flat:
+            # head-flat buffers (B, T, D) — unpadded in HBM
             shape = (b, t_max, cfg.hidden_size)
         else:
             h = _layer_heads(cfg, layer_type)
@@ -915,6 +1019,10 @@ def greedy_decode_fast(model, params, batch, bos_idx: int,
             logits, dec_kv = _decode_one_row_fused(
                 params, cfg, step_consts, classifier_weight, ptr_keys,
                 seg_lens, x[:, 0, :], dec_kv, t, interpret
+            )
+        elif use_flat:
+            logits, dec_kv = _decode_one_row_flat(
+                params, cfg, cache, classifier_weight, ptr_keys, x, dec_kv, t
             )
         else:
             logits, dec_kv = _decode_one_row(

@@ -294,3 +294,50 @@ def test_seg_lens_validate_rejects_non_contiguous_masks():
     bad["pad_obj_mask"] = np.array([[1, 0, 1]], np.float32)
     with _pytest.raises(AssertionError, match="prefix-contiguous"):
         _seg_lens(bad, validate=True)
+
+
+def test_greedy_xla_flat_backend_matches_xla():
+    """backend="xla_flat" (head-flat K/V, multiply-reduce attention) must
+    bit-match the einsum path in f32, incl. decoder-row quadrant masking."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sam_textvqa_tpu.config import task_config_from_dict
+    from sam_textvqa_tpu.data.synthetic import device_batch, make_batch
+    from sam_textvqa_tpu.models.fast_decode import greedy_decode_fast
+    from sam_textvqa_tpu.models.sa_m4c import SAM4C, SAM4CParams
+
+    for quads in ([2, 4], [2, 4, 7, 8, 9]):
+        cfg = task_config_from_dict(
+            {"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 1}}
+        )
+        mmt = dataclasses.replace(
+            cfg.mmt, hidden_size=96, intermediate_size=192, ptr_query_size=96,
+            max_obj_num=10, max_ocr_num=8, num_decoding_steps=5,
+            max_seq_length=8, attention_mask_quadrants=tuple(quads),
+        )
+        tb = dataclasses.replace(
+            cfg.text_bert, hidden_size=96, intermediate_size=192
+        )
+        task = dataclasses.replace(cfg, mmt=mmt, text_bert=tb)
+        model = SAM4C(params_cfg=SAM4CParams(mmt, tb, 40), dtype=jnp.float32)
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in device_batch(
+                make_batch(task, 3, num_answers_vocab=40)
+            ).items()
+        }
+        params = model.init(
+            {"params": jax.random.PRNGKey(0)}, batch, deterministic=True
+        )["params"]
+        s_x, p_x = greedy_decode_fast(model, params, batch, 1, backend="xla")
+        s_f, p_f = greedy_decode_fast(
+            model, params, batch, 1, backend="xla_flat"
+        )
+        np.testing.assert_array_equal(np.asarray(p_x), np.asarray(p_f))
+        np.testing.assert_allclose(
+            np.asarray(s_x), np.asarray(s_f), rtol=2e-5, atol=2e-5
+        )

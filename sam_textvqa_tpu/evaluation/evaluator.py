@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+from collections import deque
 from functools import partial
 from typing import Dict, List, Optional
 
@@ -46,6 +47,11 @@ METRIC_EVALUATORS = {
     "stvqa": STVQAAccuracyEvaluator,
     "anls": STVQAANLSEvaluator,
 }
+
+#: eval pipelining: keep this many batches' decode results in flight —
+#: jax dispatch is async, so the host decodes batch i's strings while the
+#: device decodes batches i+1..i+depth (fetching happens in ``consume``)
+PIPELINE_DEPTH = 2
 
 #: batch keys the decoder actually reads — training-only arrays (targets is
 #: (B, T, vocab+OCR) ~ 23 MB/batch) are never shipped to device during eval
@@ -131,15 +137,12 @@ class Evaluator:
         greedy = self._greedy_fn()
         all_preds: List[Dict] = []
         scored_preds: List[Dict] = []
-        for batch in batches:
-            host_only = {k: v for k, v in batch.items() if k.startswith("_")}
-            qids = _batch_qids(batch, host_only)
-            device_batch = {
-                k: jnp.asarray(batch[k]) for k in DECODE_KEYS if k in batch
-            }
-            if device_put is not None:
-                device_batch = device_put(device_batch)
-            _, pred_ids = greedy(params, device_batch)
+
+        def consume(item):
+            # jax dispatch is async: np.asarray here blocks only if the
+            # device hasn't caught up, so host-side decoding of batch i
+            # overlaps the device decoding of batches i+1..i+depth
+            pred_ids, host_only, qids = item
             pred_ids = np.asarray(pred_ids)
             decoded = decode_predictions(
                 pred_ids,
@@ -160,6 +163,22 @@ class Evaluator:
                 if gt:
                     scored_preds.append({**entry, "gt_answers": list(gt)})
                 all_preds.append(entry)
+
+        pending: deque = deque()
+        for batch in batches:
+            host_only = {k: v for k, v in batch.items() if k.startswith("_")}
+            qids = _batch_qids(batch, host_only)
+            device_batch = {
+                k: jnp.asarray(batch[k]) for k in DECODE_KEYS if k in batch
+            }
+            if device_put is not None:
+                device_batch = device_put(device_batch)
+            _, pred_ids = greedy(params, device_batch)
+            pending.append((pred_ids, host_only, qids))
+            while len(pending) > PIPELINE_DEPTH:
+                consume(pending.popleft())
+        while pending:
+            consume(pending.popleft())
 
         accuracy = None
         if scored_preds:
@@ -213,13 +232,11 @@ class Evaluator:
 
         all_preds: List[Dict] = []
         scored_preds: List[Dict] = []
-        for batch in batches:
-            host_only = {k: v for k, v in batch.items() if k.startswith("_")}
-            qids = _batch_qids(batch, host_only)
-            device_batch = {
-                k: jnp.asarray(batch[k]) for k in DECODE_KEYS if k in batch
-            }
-            seqs, scores = beam_fn(params, device_batch)
+
+        def consume(item):
+            # async-dispatch pipeline (see run_split): host-side per-beam
+            # decoding overlaps the device's beam search on later batches
+            seqs, scores, host_only, qids = item
             seqs = np.asarray(seqs)      # (B, K, T) incl. BOS at 0
             scores = np.asarray(scores)  # (B, K)
             best = np.argmax(scores, axis=1)
@@ -257,6 +274,20 @@ class Evaluator:
                 if gt:
                     scored_preds.append({**entry, "gt_answers": list(gt)})
                 all_preds.append(entry)
+
+        pending: deque = deque()
+        for batch in batches:
+            host_only = {k: v for k, v in batch.items() if k.startswith("_")}
+            qids = _batch_qids(batch, host_only)
+            device_batch = {
+                k: jnp.asarray(batch[k]) for k in DECODE_KEYS if k in batch
+            }
+            seqs, scores = beam_fn(params, device_batch)
+            pending.append((seqs, scores, host_only, qids))
+            while len(pending) > PIPELINE_DEPTH:
+                consume(pending.popleft())
+        while pending:
+            consume(pending.popleft())
 
         accuracy = anls = None
         if scored_preds:

@@ -19,6 +19,36 @@ import threading
 from typing import Dict, Iterator
 
 import jax
+import numpy as np
+
+#: float32 arrays whose FIRST device-side use is ``.astype(model_dtype)``
+#: (models/sa_m4c.py encode/decode_step): casting them on HOST before the
+#: transfer is bit-identical (same IEEE round-to-nearest-even either side
+#: of the link, via ml_dtypes) and halves the dominant host->device bytes
+#: (~120 MB of features per batch-96).
+FEATURE_TRANSFER_KEYS = (
+    "pad_obj_features",
+    "pad_ocr_features",
+    "ocr_fasttext",
+    "ocr_phoc",
+    "pad_obj_bboxes",
+    "pad_ocr_bboxes",
+)
+
+
+def cast_features_for_transfer(batch: Dict, dtype) -> Dict:
+    """Down-cast the big float32 feature arrays to the model compute dtype
+    on the host. No-op unless ``dtype`` is a sub-f32 float (bf16/f16);
+    targets, masks, and int arrays are never touched."""
+    np_dtype = np.dtype(dtype)
+    if np_dtype.itemsize >= 4:  # f32/f64 model: ship f32 untouched
+        return batch
+    out = dict(batch)
+    for k in FEATURE_TRANSFER_KEYS:
+        v = out.get(k)
+        if v is not None and getattr(v, "dtype", None) == np.float32:
+            out[k] = np.asarray(v).astype(np_dtype)
+    return out
 
 
 def prefetch_to_device(
@@ -26,6 +56,7 @@ def prefetch_to_device(
     size: int = 2,
     sharding=None,
     process_local: bool = False,
+    feature_dtype=None,
 ) -> Iterator[Dict]:
     """Wrap a host batch iterator; device arrays arrive ``size`` batches
     ahead. Host-only keys (prefixed ``_``) pass through untouched.
@@ -55,6 +86,8 @@ def prefetch_to_device(
                 dev = {
                     k: v for k, v in batch.items() if not k.startswith("_")
                 }
+                if feature_dtype is not None:
+                    dev = cast_features_for_transfer(dev, feature_dtype)
                 if process_local and sharding is not None:
                     import numpy as _np
 

@@ -119,6 +119,18 @@ class Evaluator:
             self._greedy[key] = fn
         return self._greedy[key]
 
+    def _transfer_batch(self, batch):
+        """Host batch -> device arrays, shipping only DECODE_KEYS and
+        down-casting the feature arrays to the model compute dtype first
+        (bit-identical for bf16 models — the device's first touch is
+        ``.astype(model_dtype)`` anyway — and half the transfer bytes;
+        see data/prefetch.py:cast_features_for_transfer)."""
+        from ..data.prefetch import cast_features_for_transfer
+
+        picked = {k: batch[k] for k in DECODE_KEYS if k in batch}
+        picked = cast_features_for_transfer(picked, self.model.dtype)
+        return {k: jnp.asarray(v) for k, v in picked.items()}
+
     def run_split(
         self,
         params,
@@ -168,9 +180,7 @@ class Evaluator:
         for batch in batches:
             host_only = {k: v for k, v in batch.items() if k.startswith("_")}
             qids = _batch_qids(batch, host_only)
-            device_batch = {
-                k: jnp.asarray(batch[k]) for k in DECODE_KEYS if k in batch
-            }
+            device_batch = self._transfer_batch(batch)
             if device_put is not None:
                 device_batch = device_put(device_batch)
             _, pred_ids = greedy(params, device_batch)
@@ -279,9 +289,7 @@ class Evaluator:
         for batch in batches:
             host_only = {k: v for k, v in batch.items() if k.startswith("_")}
             qids = _batch_qids(batch, host_only)
-            device_batch = {
-                k: jnp.asarray(batch[k]) for k in DECODE_KEYS if k in batch
-            }
+            device_batch = self._transfer_batch(batch)
             seqs, scores = beam_fn(params, device_batch)
             pending.append((seqs, scores, host_only, qids))
             while len(pending) > PIPELINE_DEPTH:

@@ -203,6 +203,10 @@ def train(
             size=2,
             sharding=data_sharding,
             process_local=process_local,
+            # ship features in the compute dtype: bit-identical for bf16
+            # models (first device op is .astype(model.dtype)) and half
+            # the host->device bytes (prefetch.py)
+            feature_dtype=model.dtype,
         )
         for it, batch in enumerate(batches):
             device_batch = _device_view(batch)

@@ -194,3 +194,66 @@ def test_greedy_loop_matches_reference():
         axis=1,
     )
     np.testing.assert_array_equal(ours_prev, ref_prev)
+
+
+def test_reference_checkpoint_to_answers_e2e():
+    """The full north-star path minus real weights: a reference-layout
+    torch checkpoint (the reference model's OWN random initialization)
+    converts through convert_torch_state_dict into our params; the
+    reference then runs its eval loop verbatim on the same batch, and both
+    stacks must produce identical answer ids AND identical decoded answer
+    strings through the EvalAI decoder. When best_model.tar becomes
+    available, this exact pipeline is the bit-parity run."""
+    import jax
+    import jax.numpy as jnp
+
+    from sam_textvqa_tpu.config import MATRIX_TYPE_MAP
+    from sam_textvqa_tpu.evaluation.metrics import decode_predictions
+    from sam_textvqa_tpu.models.fast_decode import greedy_decode_fast
+    from sam_textvqa_tpu.models.sa_m4c import SAM4C, SAM4CParams, greedy_decode
+    from sam_textvqa_tpu.utils.checkpoint import convert_torch_state_dict
+
+    task = _configs()
+    # the checkpoint source: the reference model as torch constructs it
+    sa_m4c = load_reference_sam4c(NUM_ANSWERS, bos_idx=BOS_IDX)
+    torch.manual_seed(7)
+    ref_model = sa_m4c.SAM4C(shim_config(task.mmt), shim_config(task.text_bert))
+    state_dict = {
+        k: v.detach().cpu().numpy() for k, v in ref_model.state_dict().items()
+    }
+
+    model = SAM4C(params_cfg=SAM4CParams(task.mmt, task.text_bert, NUM_ANSWERS))
+    batch_np = _batch(task)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    params0 = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    params, missing = convert_torch_state_dict(state_dict, params0, strict=True)
+    assert not missing
+
+    ctx_keys = sorted(
+        {MATRIX_TYPE_MAP[m] for lt, m in
+         zip(task.mmt.layer_type_list, task.mmt.mix_list) if lt in ("s", "i")}
+    )
+    tbatch = torch_batch(batch_np, ctx_keys)
+    ref_model.eval()
+    with torch.no_grad():
+        ref_out = ref_model(tbatch)
+    ref_ids = ref_out["textvqa_scores"].numpy().argmax(-1)
+
+    _, ids_scan = greedy_decode(model, params, batch, bos_idx=BOS_IDX)
+    _, ids_fast = greedy_decode_fast(model, params, batch, BOS_IDX)
+    np.testing.assert_array_equal(np.asarray(ids_scan), ref_ids)
+    np.testing.assert_array_equal(np.asarray(ids_fast), ref_ids)
+
+    eos_idx = 2
+    word_list = ["<pad>", "<s>", "</s>", "<unk>"] + [
+        f"w{i}" for i in range(NUM_ANSWERS - 4)
+    ]
+    ocr_tokens = [
+        [f"ocr{j}" for j in range(task.mmt.max_ocr_num)]
+        for _ in range(ref_ids.shape[0])
+    ]
+    ours = decode_predictions(
+        np.asarray(ids_fast), ocr_tokens, word_list, eos_idx
+    )
+    ref = decode_predictions(ref_ids, ocr_tokens, word_list, eos_idx)
+    assert [a["pred_answer"] for a in ours] == [a["pred_answer"] for a in ref]

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import pickle
+from pathlib import PurePath
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -53,20 +54,9 @@ class FeatureSource:
 
 
 def _split_path(path: str):
-    """Split a path into all of its components (drive/root kept as the
-    first element), like repeated os.path.split."""
-    parts = []
-    while True:
-        head, tail = os.path.split(path)
-        if head == path:      # absolute-path root
-            parts.insert(0, head)
-            break
-        if tail == path:      # single relative component left
-            parts.insert(0, tail)
-            break
-        parts.insert(0, tail)
-        path = head
-    return parts
+    """All path components, root kept as the first element ('/a/b' ->
+    ('/', 'a', 'b'); 'a/b' -> ('a', 'b'))."""
+    return PurePath(path).parts
 
 
 def rebase_image_id(image_id: str, sample_id: str) -> str:
@@ -92,7 +82,7 @@ def rebase_image_id(image_id: str, sample_id: str) -> str:
             head.append(part)
         id_parts = _split_path(image_id)
         task_at = [i for i, p in enumerate(id_parts) if "task" in p]
-        tail = id_parts[task_at[0]:] if task_at else []
+        tail = list(id_parts[task_at[0]:]) if task_at else []
         if head + tail:
             image_id = os.path.join(*(head + tail))
     if "ocr-vqa" in sample_id:

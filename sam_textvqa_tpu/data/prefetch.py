@@ -89,14 +89,9 @@ def prefetch_to_device(
                 if feature_dtype is not None:
                     dev = cast_features_for_transfer(dev, feature_dtype)
                 if process_local and sharding is not None:
-                    import numpy as _np
+                    from ..parallel.mesh import stitch_process_local
 
-                    dev = {
-                        k: jax.make_array_from_process_local_data(
-                            sharding, _np.asarray(v)
-                        )
-                        for k, v in dev.items()
-                    }
+                    dev = stitch_process_local(dev, sharding)
                 elif sharding is not None:
                     dev = {
                         k: jax.device_put(v, sharding) for k, v in dev.items()

@@ -53,6 +53,20 @@ METRIC_EVALUATORS = {
 #: device decodes batches i+1..i+depth (fetching happens in ``consume``)
 PIPELINE_DEPTH = 2
 
+
+def _pipelined(batches, dispatch, consume):
+    """Run ``dispatch`` over every batch with at most ``PIPELINE_DEPTH``
+    results in flight before ``consume``-ing the oldest. The np.asarray
+    fetch lives in the consumer, so the device runs ahead of the host's
+    string work. Shared by the greedy and beam split runners."""
+    pending: deque = deque()
+    for batch in batches:
+        pending.append(dispatch(batch))
+        while len(pending) > PIPELINE_DEPTH:
+            consume(pending.popleft())
+    while pending:
+        consume(pending.popleft())
+
 #: batch keys the decoder actually reads — training-only arrays (targets is
 #: (B, T, vocab+OCR) ~ 23 MB/batch) are never shipped to device during eval
 DECODE_KEYS = (
@@ -176,19 +190,16 @@ class Evaluator:
                     scored_preds.append({**entry, "gt_answers": list(gt)})
                 all_preds.append(entry)
 
-        pending: deque = deque()
-        for batch in batches:
+        def dispatch(batch):
             host_only = {k: v for k, v in batch.items() if k.startswith("_")}
             qids = _batch_qids(batch, host_only)
             device_batch = self._transfer_batch(batch)
             if device_put is not None:
                 device_batch = device_put(device_batch)
             _, pred_ids = greedy(params, device_batch)
-            pending.append((pred_ids, host_only, qids))
-            while len(pending) > PIPELINE_DEPTH:
-                consume(pending.popleft())
-        while pending:
-            consume(pending.popleft())
+            return pred_ids, host_only, qids
+
+        _pipelined(batches, dispatch, consume)
 
         accuracy = None
         if scored_preds:
@@ -285,17 +296,13 @@ class Evaluator:
                     scored_preds.append({**entry, "gt_answers": list(gt)})
                 all_preds.append(entry)
 
-        pending: deque = deque()
-        for batch in batches:
+        def dispatch(batch):
             host_only = {k: v for k, v in batch.items() if k.startswith("_")}
             qids = _batch_qids(batch, host_only)
-            device_batch = self._transfer_batch(batch)
-            seqs, scores = beam_fn(params, device_batch)
-            pending.append((seqs, scores, host_only, qids))
-            while len(pending) > PIPELINE_DEPTH:
-                consume(pending.popleft())
-        while pending:
-            consume(pending.popleft())
+            seqs, scores = beam_fn(params, self._transfer_batch(batch))
+            return seqs, scores, host_only, qids
+
+        _pipelined(batches, dispatch, consume)
 
         accuracy = anls = None
         if scored_preds:

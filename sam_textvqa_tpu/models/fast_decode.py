@@ -33,7 +33,7 @@ import numpy as np
 
 from ..config import MATRIX_TYPE_MAP, MMTConfig
 from ..ops.spatial_graph import relation_head_lut
-from .layers import MASK_BIAS
+from .layers import MASK_BIAS, row_alive_from_bias
 
 
 def _dense(p, x):
@@ -89,11 +89,7 @@ def _attention(q, k, v, bias, zero_fully_masked):
     scores = scores + bias.astype(scores.dtype)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
     if zero_fully_masked:
-        # dtype-robust aliveness: any key with bias above MASK_BIAS/2 keeps
-        # the row (a bf16 bias rounds -10000 to -9984, so the old exact
-        # (max+10000)/10000 arithmetic would leak 0.0016 into dead rows)
-        row_alive = jnp.max(bias, axis=-1, keepdims=True) > (MASK_BIAS / 2)
-        probs = probs * row_alive.astype(probs.dtype)
+        probs = probs * row_alive_from_bias(bias).astype(probs.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
@@ -379,10 +375,9 @@ def decode_rows(
                 [jnp.broadcast_to(enc_bias_l, scores_enc.shape),
                  jnp.broadcast_to(dec_bias_l, scores_dec.shape)], axis=-1
             )
-            row_alive = jnp.max(full_bias, axis=-1, keepdims=True) > (
-                MASK_BIAS / 2
-            )  # dtype-robust (bf16 rounds -10000 to -9984)
-            probs = probs * row_alive.astype(probs.dtype)
+            probs = probs * row_alive_from_bias(full_bias).astype(
+                probs.dtype
+            )
         le = k_enc.shape[2]
         ctx = jnp.einsum(
             "bhqk,bhkd->bhqd", probs[..., :le], v_enc
@@ -503,10 +498,9 @@ def _decode_one_row(params, cfg: MMTConfig, cache: MMTCache,
                 [jnp.broadcast_to(enc_bias_l, scores_enc.shape),
                  jnp.broadcast_to(dec_bias_l, scores_dec.shape)], axis=-1
             )
-            row_alive = jnp.max(full_bias, axis=-1, keepdims=True) > (
-                MASK_BIAS / 2
-            )  # dtype-robust (bf16 rounds -10000 to -9984)
-            probs = probs * row_alive.astype(probs.dtype)
+            probs = probs * row_alive_from_bias(full_bias).astype(
+                probs.dtype
+            )
         le = k_enc.shape[2]
         ctx = jnp.einsum(
             "bhqk,bhkd->bhqd", probs[..., :le], v_enc
@@ -603,10 +597,9 @@ def _decode_one_row_flat(params, cfg: MMTConfig, cache: MMTCache,
                 [jnp.broadcast_to(enc_bias_l, scores_enc.shape),
                  jnp.broadcast_to(dec_bias_l, scores_dec.shape)], axis=-1
             )
-            row_alive = jnp.max(full_bias, axis=-1, keepdims=True) > (
-                MASK_BIAS / 2
-            )  # dtype-robust (bf16 rounds -10000 to -9984)
-            probs = probs * row_alive.astype(probs.dtype)
+            probs = probs * row_alive_from_bias(full_bias).astype(
+                probs.dtype
+            )
         # ctx: per-head probs broadcast over the hd slice of the flat V —
         # again one unpadded pass per buffer
         pe = probs[..., :le].transpose(0, 2, 1)[..., None]  # (B, Le, H, 1)
@@ -890,10 +883,9 @@ def _decode_one_row_beams(params, cfg: MMTConfig, cache: MMTCache,
                 [jnp.broadcast_to(enc_bias_l, scores_enc.shape),
                  jnp.broadcast_to(dec_bias_l, scores_dec.shape)], axis=-1
             )
-            row_alive = jnp.max(full_bias, axis=-1, keepdims=True) > (
-                MASK_BIAS / 2
-            )  # dtype-robust (bf16 rounds -10000 to -9984)
-            probs = probs * row_alive.astype(probs.dtype)
+            probs = probs * row_alive_from_bias(full_bias).astype(
+                probs.dtype
+            )
         le = k_enc.shape[2]
         ctx = jnp.einsum(
             "bkhl,bhld->bkhd", probs[..., :le], v_enc

@@ -23,6 +23,17 @@ from flax import linen as nn
 MASK_BIAS = -10000.0
 
 
+def row_alive_from_bias(bias: jnp.ndarray) -> jnp.ndarray:
+    """Fully-masked-row indicator (reference entity_probs_mask,
+    sam/sa_m4c.py:574-584) in a dtype-robust form: a row is alive if any
+    key's additive bias sits above ``MASK_BIAS / 2``. Exact arithmetic
+    against -10000 would misclassify a bf16 bias (bf16 rounds -10000 to
+    -9984, leaking 0.0016 into dead rows); the threshold compare is exact
+    for every bias dtype. Single home of the idiom — used by the module
+    attention path and all fast_decode variants."""
+    return jnp.max(bias, axis=-1, keepdims=True) > (MASK_BIAS / 2)
+
+
 def gelu_erf(x):
     return x * 0.5 * (1.0 + jax.lax.erf(x / jnp.sqrt(2.0).astype(x.dtype)))
 
@@ -97,10 +108,7 @@ def masked_softmax_attention(
     scores = scores + bias.astype(scores.dtype)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
     if zero_fully_masked:
-        row_alive = (jnp.max(bias, axis=-1, keepdims=True) + (-MASK_BIAS)) / (
-            -MASK_BIAS
-        )
-        probs = probs * row_alive.astype(probs.dtype)
+        probs = probs * row_alive_from_bias(bias).astype(probs.dtype)
     if dropout_rate > 0.0 and not deterministic:
         if module is not None:
             probs = nn.Dropout(rate=dropout_rate)(probs, deterministic=False)

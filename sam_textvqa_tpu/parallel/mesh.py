@@ -44,16 +44,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def make_global_batch(host_batch: Dict, mesh: Mesh) -> Dict:
-    """Per-process LOCAL rows -> globally batch-sharded ``jax.Array``s.
-
-    Each process supplies only its own ``global_batch / process_count``
-    slice (from a process-sharded ``EpochBatcher``);
-    ``jax.make_array_from_process_local_data`` stitches the global array
-    without any host ever materializing the full batch. Host-only keys
-    (``_``-prefixed) pass through untouched.
-    """
-    sharding = batch_sharding(mesh)
+def stitch_process_local(host_batch: Dict, sharding) -> Dict:
+    """Per-process LOCAL rows -> globally sharded ``jax.Array``s under
+    ``sharding`` via ``jax.make_array_from_process_local_data``; host-only
+    keys (``_``-prefixed) pass through untouched. Shared by
+    :func:`make_global_batch` and the prefetch producer
+    (data/prefetch.py) — the single home of the stitching logic."""
     out = {}
     for k, v in host_batch.items():
         if k.startswith("_"):
@@ -63,6 +59,16 @@ def make_global_batch(host_batch: Dict, mesh: Mesh) -> Dict:
                 sharding, np.asarray(v)
             )
     return out
+
+
+def make_global_batch(host_batch: Dict, mesh: Mesh) -> Dict:
+    """Per-process LOCAL rows -> globally batch-sharded ``jax.Array``s.
+
+    Each process supplies only its own ``global_batch / process_count``
+    slice (from a process-sharded ``EpochBatcher``); the global array is
+    stitched without any host ever materializing the full batch.
+    """
+    return stitch_process_local(host_batch, batch_sharding(mesh))
 
 
 # (regex over flattened param path, partition spec) — first match wins.

@@ -48,11 +48,18 @@ def _device_view(batch: Dict) -> Dict:
 def _local_rows(arr) -> np.ndarray:
     """Rows of a (possibly multi-host global) batch-sharded array that this
     process owns, in ascending global-row order — aligned with the local
-    host-side lists a process-sharded EpochBatcher produced."""
-    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
-        shards = sorted(
-            arr.addressable_shards, key=lambda s: s.index[0].start or 0
-        )
+    host-side lists a process-sharded EpochBatcher produced.
+
+    Under tensor parallelism the model-axis replicas surface one
+    addressable shard PER REPLICA for the same row block, so shards are
+    deduped by their row slice before concatenating (otherwise predictions
+    would be paired with the wrong ground-truth rows)."""
+    if getattr(arr, "is_fully_addressable", True) is False:
+        by_rows = {}
+        for s in arr.addressable_shards:
+            start = s.index[0].start or 0
+            by_rows.setdefault(start, s)  # keep one replica per row block
+        shards = [by_rows[k] for k in sorted(by_rows)]
         return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
     return np.asarray(arr)
 

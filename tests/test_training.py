@@ -150,3 +150,39 @@ def test_grad_clip_bounds_update_norm():
     state, metrics = train_step(state, batch, jax.random.PRNGKey(0))
     finite = all(np.isfinite(np.asarray(p)).all() for p in jax.tree.leaves(state.params))
     assert finite
+
+
+def test_local_rows_dedups_model_axis_replicas():
+    """Under multi-host tensor parallelism every model-axis replica
+    surfaces an addressable shard for the SAME row block; _local_rows must
+    keep one replica per row block or train-accuracy pairs predictions
+    with the wrong ground-truth rows (round-3 review finding)."""
+    import numpy as np
+
+    from sam_textvqa_tpu.training.loop import _local_rows
+
+    class Shard:
+        def __init__(self, start, rows):
+            self.index = (slice(start, start + rows.shape[0]),)
+            self.data = rows
+
+    class FakeGlobalArray:
+        is_fully_addressable = False
+
+        def __init__(self, shards):
+            self.addressable_shards = shards
+
+    rows0 = np.arange(8).reshape(2, 4)
+    rows1 = np.arange(8, 16).reshape(2, 4)
+    # dp x tp mesh: each row block appears once PER model-axis replica
+    arr = FakeGlobalArray(
+        [Shard(0, rows0), Shard(0, rows0), Shard(2, rows1), Shard(2, rows1)]
+    )
+    out = _local_rows(arr)
+    np.testing.assert_array_equal(out, np.concatenate([rows0, rows1]))
+
+    # dp-only (no replicas) still concatenates in row order
+    arr = FakeGlobalArray([Shard(2, rows1), Shard(0, rows0)])
+    np.testing.assert_array_equal(
+        _local_rows(arr), np.concatenate([rows0, rows1])
+    )

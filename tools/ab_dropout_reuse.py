@@ -64,7 +64,13 @@ def run(reuse: bool, seed: int, rng_shift: int = 0):
     step = 0
     import numpy as np
 
+    epoch = 0
     while step < STEPS:
+        # pin the epoch explicitly: epoch_batches() auto-increments only
+        # when the generator is exhausted (not when the step cap abandons
+        # it mid-epoch), so relying on the attribute is boundary-sensitive
+        batcher.epoch = epoch
+        epoch += 1
         for batch in batcher.epoch_batches():
             dev = {k: jnp.asarray(v) for k, v in batch.items()
                    if not k.startswith("_") and k != "question_id"}
@@ -86,7 +92,6 @@ def run(reuse: bool, seed: int, rng_shift: int = 0):
             step += 1
             if step >= STEPS:
                 break
-        batcher.epoch += 1
     return [float(x) for x in losses]
 
 

@@ -1,0 +1,267 @@
+#!/usr/bin/env python
+"""Online serving CLI for SA-M4C greedy decoding.
+
+The reference repo only scores offline splits (reference evaluator.py:52-63);
+this driver exposes the same model as a long-lived service around
+``sam_textvqa_tpu.serving.ServingEngine`` (dynamic batching over
+pre-compiled fixed-shape buckets).
+
+Modes:
+
+  # synthetic load test: submit N requests from C client threads, print
+  # one JSON line of latency/throughput stats
+  python serve.py --config configs/train-tvqa-eval-tvqa-c3.yml \
+      --checkpoint save/run1/best_model --demo 256 --concurrency 16
+
+  # JSON-lines TCP server: one request per line
+  #   {"id": 1, "npz": "/path/sample.npz"}            # arrays by SAMPLE_KEYS
+  #   -> {"id": 1, "answer": "...", "latency_ms": 3.1}
+  python serve.py --config ... --checkpoint ... --port 8765
+
+The ``.npz`` file carries the per-request arrays (see
+serving.engine.SAMPLE_KEYS) plus an ``ocr_tokens`` string array; produce it
+with ``sam_textvqa_tpu.serving.build_sample`` + ``np.savez``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import socketserver
+import threading
+import time
+
+import numpy as np
+
+logging.basicConfig(
+    format="%(asctime)s - %(levelname)s - %(name)s - %(message)s",
+    datefmt="%m/%d/%Y %H:%M:%S",
+    level=logging.INFO,
+)
+logger = logging.getLogger("serve")
+
+
+def get_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint", default="",
+                   help="orbax checkpoint dir (e.g. save/run1/best_model); "
+                   "random init with a loud warning when absent")
+    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--buckets", default="1,8,32",
+                   help="comma-separated pre-compiled batch sizes")
+    p.add_argument("--max_wait_ms", type=float, default=2.0)
+    p.add_argument(
+        "--decode_backend",
+        choices=["auto", "xla", "xla_flat", "fused", "mega"], default="auto",
+    )
+    p.add_argument("--demo", type=int, default=0,
+                   help="submit N synthetic requests and print stats")
+    p.add_argument("--concurrency", type=int, default=8,
+                   help="demo client threads")
+    p.add_argument("--rate", type=float, default=0.0,
+                   help="demo: open-loop target request rate in qps "
+                   "(0 = closed-loop flood; with a flood, latency "
+                   "percentiles measure queue time, not service time)")
+    p.add_argument("--port", type=int, default=None,
+                   help="serve a JSON-lines TCP endpoint on this port "
+                   "(0 binds an ephemeral port, announced on stdout)")
+    p.add_argument("--host", default="127.0.0.1")
+    return p.parse_args()
+
+
+def build_engine(args):
+    import jax
+    import jax.numpy as jnp
+
+    from sam_textvqa_tpu.config import load_task_config
+    from sam_textvqa_tpu.models.sa_m4c import SAM4C, SAM4CParams
+    from sam_textvqa_tpu.serving import ServingEngine
+    from train import build_vocab
+
+    task_cfg = load_task_config(args.config)
+    vocab = build_vocab(task_cfg)
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model = SAM4C(
+        params_cfg=SAM4CParams(task_cfg.mmt, task_cfg.text_bert, len(vocab)),
+        dtype=dtype,
+    )
+    if args.checkpoint:
+        from sam_textvqa_tpu.utils.checkpoint import restore_checkpoint
+
+        params = restore_checkpoint(args.checkpoint)["params"]
+        logger.info("restored params from %s", args.checkpoint)
+    else:
+        logger.warning(
+            "no --checkpoint given — serving RANDOM weights (smoke mode)"
+        )
+        from sam_textvqa_tpu.data.synthetic import SyntheticDataset
+
+        ds = SyntheticDataset(task_cfg, 2, num_answers_vocab=len(vocab))
+        sample = {
+            k: jnp.asarray(v)
+            for k, v in ds.get_batch(range(2)).items()
+            if not k.startswith("_") and k != "question_id"
+        }
+        params = jax.jit(
+            lambda: model.init(
+                {"params": jax.random.PRNGKey(task_cfg.seed)},
+                sample,
+                deterministic=True,
+            )["params"]
+        )()
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    engine = ServingEngine(
+        model,
+        params,
+        vocab,
+        buckets=buckets,
+        max_wait_ms=args.max_wait_ms,
+        decode_backend=args.decode_backend,
+    )
+    t0 = time.time()
+    engine.warmup()
+    logger.info(
+        "warmed %d bucket executables in %.1fs", len(buckets), time.time() - t0
+    )
+    return task_cfg, vocab, engine
+
+
+def run_demo(task_cfg, vocab, engine, n: int, concurrency: int,
+             rate: float = 0.0):
+    """Synthetic load test; prints one stats JSON line.
+
+    ``rate == 0`` floods (closed loop: throughput-bound, latencies measure
+    queue time); ``rate > 0`` paces submissions open-loop at the target
+    qps so latency percentiles reflect service time under that load.
+    """
+    from sam_textvqa_tpu.data.synthetic import SyntheticDataset
+    from sam_textvqa_tpu.serving.engine import SAMPLE_KEYS
+
+    pool_n = min(n, 256)
+    ds = SyntheticDataset(task_cfg, pool_n, seed=0,
+                          num_answers_vocab=len(vocab))
+    batch = ds.get_batch(range(pool_n))
+    samples = []
+    for i in range(pool_n):
+        s = {k: np.asarray(batch[k][i]) for k in SAMPLE_KEYS}
+        s["ocr_tokens"] = batch["_ocr_tokens"][i]
+        samples.append(s)
+
+    t0 = time.time()
+    errors = []
+
+    def client(cid):
+        try:
+            if rate > 0:
+                # open loop: each client owns every concurrency-th slot of
+                # the global arrival schedule (period 1/rate)
+                futs = []
+                for i in range(cid, n, concurrency):
+                    time.sleep(max(0.0, t0 + i / rate - time.time()))
+                    futs.append(engine.submit(samples[i % pool_n]))
+                for f in futs:
+                    f.result(timeout=600)
+            else:
+                futs = [
+                    engine.submit(samples[i % pool_n])
+                    for i in range(cid, n, concurrency)
+                ]
+                for f in futs:
+                    f.result(timeout=600)
+        except Exception as e:  # pragma: no cover
+            errors.append(repr(e))
+
+    threads = [
+        threading.Thread(target=client, args=(c,)) for c in range(concurrency)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    elapsed = time.time() - t0
+    stats = engine.stats.summary()
+    stats.update(
+        demo_requests=n,
+        concurrency=concurrency,
+        wall_s=round(elapsed, 3),
+        demo_qps=round(n / elapsed, 1),
+        errors=errors,
+    )
+    print(json.dumps(stats))
+    return stats
+
+
+class _LineHandler(socketserver.StreamRequestHandler):
+    """One JSON request per line; the engine coalesces across connections."""
+
+    def handle(self):
+        engine = self.server.engine  # type: ignore[attr-defined]
+        for raw in self.rfile:
+            raw = raw.strip()
+            if not raw:
+                continue
+            try:
+                req = json.loads(raw)
+                sample = self._load_sample(req)
+                res = engine.submit(sample).result(timeout=600)
+                out = {"id": req.get("id"), **res}
+            except Exception as e:
+                out = {"id": None, "error": repr(e)}
+                try:
+                    out["id"] = json.loads(raw).get("id")
+                except Exception:
+                    pass
+            self.wfile.write((json.dumps(out) + "\n").encode())
+            self.wfile.flush()
+
+    @staticmethod
+    def _load_sample(req):
+        from sam_textvqa_tpu.serving.engine import SAMPLE_KEYS
+
+        with np.load(req["npz"], allow_pickle=False) as z:
+            sample = {k: z[k] for k in SAMPLE_KEYS}
+            tokens = (
+                [str(t) for t in z["ocr_tokens"]]
+                if "ocr_tokens" in z
+                else req.get("ocr_tokens", [])
+            )
+        sample["ocr_tokens"] = list(tokens)
+        return sample
+
+
+def run_server(engine, host: str, port: int):
+    class Server(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    with Server((host, port), _LineHandler) as server:
+        server.engine = engine  # type: ignore[attr-defined]
+        bound = server.server_address
+        logger.info("serving on %s:%d", bound[0], bound[1])
+        print(json.dumps({"listening": [bound[0], bound[1]]}), flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+
+
+def main():
+    args = get_args()
+    if not args.demo and args.port is None:
+        raise SystemExit("pick a mode: --demo N or --port P")
+    task_cfg, vocab, engine = build_engine(args)
+    try:
+        if args.demo:
+            run_demo(task_cfg, vocab, engine, args.demo, args.concurrency,
+                     rate=args.rate)
+        if args.port is not None:
+            run_server(engine, args.host, args.port)
+    finally:
+        engine.close()
+
+
+if __name__ == "__main__":
+    main()

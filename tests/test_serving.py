@@ -1,0 +1,216 @@
+"""Serving engine tests: dynamic batching, bucket padding, answer parity
+with the offline evaluator, error isolation, request-time preprocessing."""
+
+import dataclasses
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sam_textvqa_tpu.config import task_config_from_dict
+from sam_textvqa_tpu.data.dataset import EpochBatcher
+from sam_textvqa_tpu.data.synthetic import SyntheticDataset
+from sam_textvqa_tpu.data.vocab import VocabDict
+from sam_textvqa_tpu.evaluation.evaluator import Evaluator
+from sam_textvqa_tpu.models.sa_m4c import SAM4C, SAM4CParams
+from sam_textvqa_tpu.serving import ServingEngine, build_sample
+from sam_textvqa_tpu.serving.engine import SAMPLE_KEYS
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = task_config_from_dict(
+        {"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 1}}
+    )
+    mmt = dataclasses.replace(
+        cfg.mmt, hidden_size=48, intermediate_size=96, ptr_query_size=48,
+        max_obj_num=8, max_ocr_num=6, num_decoding_steps=4, max_seq_length=8,
+    )
+    tb = dataclasses.replace(
+        cfg.text_bert, hidden_size=48, intermediate_size=96,
+        num_attention_heads=4,
+    )
+    task = dataclasses.replace(cfg, mmt=mmt, text_bert=tb)
+    words = ["<pad>", "<s>", "</s>", "<unk>"] + [f"w{i}" for i in range(40)]
+    vocab = VocabDict(words)
+    model = SAM4C(params_cfg=SAM4CParams(mmt, tb, len(vocab)))
+    ds = SyntheticDataset(task, 12, num_answers_vocab=len(vocab))
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in ds.get_batch(range(2)).items()
+        if not k.startswith("_") and k != "question_id"
+    }
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    return task, model, vocab, ds, params
+
+
+def _samples_from_dataset(ds, n):
+    batch = ds.get_batch(range(n))
+    out = []
+    for i in range(n):
+        s = {k: np.asarray(batch[k][i]) for k in SAMPLE_KEYS}
+        s["ocr_tokens"] = batch["_ocr_tokens"][i]
+        out.append(s)
+    return out
+
+
+def test_serving_answers_match_offline_eval(setup):
+    task, model, vocab, ds, params = setup
+    # offline reference: the evaluator's greedy split run
+    ev = Evaluator(model, vocab)
+    offline = ev.run_split(
+        params, EpochBatcher(ds, 4, shuffle=False).epoch_batches()
+    )
+    by_qid = {p["question_id"]: p["pred_answer"] for p in offline["predictions"]}
+
+    engine = ServingEngine(
+        model, params, vocab, buckets=(1, 4), max_wait_ms=20.0
+    )
+    engine.warmup()
+    with engine:
+        futs = engine.submit_many(_samples_from_dataset(ds, 12))
+        answers = [f.result(timeout=60) for f in futs]
+    qids = np.asarray(ds.pool["question_id"][:12])
+    for i, ans in enumerate(answers):
+        assert ans["answer"] == by_qid[int(qids[i])], i
+        assert ans["latency_ms"] >= 0.0
+    s = engine.stats.summary()
+    assert s["requests"] == 12
+    assert s["throughput_qps"] > 0
+    assert "latency_ms_p99" in s
+
+
+def test_bucket_padding_and_occupancy(setup):
+    task, model, vocab, ds, params = setup
+    engine = ServingEngine(
+        model, params, vocab, buckets=(1, 4), max_wait_ms=200.0
+    )
+    engine.warmup()
+    samples = _samples_from_dataset(ds, 3)
+    with engine:
+        # 3 requests arrive inside one coalescing window -> one bucket-4
+        # batch with 1 padded row
+        futs = engine.submit_many(samples)
+        for f in futs:
+            f.result(timeout=60)
+    assert engine.stats.batches >= 1
+    assert sum(engine.stats.occupancy.values()) == engine.stats.batches
+    if engine.stats.batches == 1:
+        assert engine.stats.occupancy == {4: 1}
+        assert engine.stats.padded_rows == 1
+
+
+def test_single_request_uses_smallest_bucket(setup):
+    task, model, vocab, ds, params = setup
+    engine = ServingEngine(
+        model, params, vocab, buckets=(1, 4), max_wait_ms=1.0
+    )
+    engine.warmup()
+    with engine:
+        fut = engine.submit(_samples_from_dataset(ds, 1)[0])
+        fut.result(timeout=60)
+    assert engine.stats.occupancy.get(1, 0) >= 1
+
+
+def test_concurrent_submitters(setup):
+    task, model, vocab, ds, params = setup
+    engine = ServingEngine(
+        model, params, vocab, buckets=(1, 4), max_wait_ms=2.0
+    )
+    engine.warmup()
+    samples = _samples_from_dataset(ds, 12)
+    results = {}
+    errors = []
+
+    def client(lo, hi):
+        try:
+            futs = [engine.submit(samples[i]) for i in range(lo, hi)]
+            for i, f in zip(range(lo, hi), futs):
+                results[i] = f.result(timeout=60)["answer"]
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    with engine:
+        threads = [
+            threading.Thread(target=client, args=(lo, lo + 4))
+            for lo in (0, 4, 8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+    assert not errors
+    assert len(results) == 12
+    # parity vs direct single-sample serving order-independence
+    ev = Evaluator(model, vocab)
+    offline = ev.run_split(
+        params, EpochBatcher(ds, 4, shuffle=False).epoch_batches()
+    )
+    by_qid = {p["question_id"]: p["pred_answer"] for p in offline["predictions"]}
+    qids = np.asarray(ds.pool["question_id"][:12])
+    for i, ans in results.items():
+        assert ans == by_qid[int(qids[i])]
+
+
+def test_bad_request_fails_future_but_not_engine(setup):
+    task, model, vocab, ds, params = setup
+    engine = ServingEngine(
+        model, params, vocab, buckets=(1,), max_wait_ms=1.0
+    )
+    engine.warmup()
+    good = _samples_from_dataset(ds, 1)[0]
+    bad = dict(good)
+    bad["pad_obj_features"] = np.zeros((3, 7), np.float32)  # wrong shape
+    with engine:
+        f_bad = engine.submit(bad)
+        with pytest.raises(Exception):
+            f_bad.result(timeout=60)
+        f_good = engine.submit(good)
+        assert "answer" in f_good.result(timeout=60)
+
+
+def test_submit_after_close_raises(setup):
+    task, model, vocab, ds, params = setup
+    engine = ServingEngine(model, params, vocab, buckets=(1,))
+    engine.start()
+    engine.close()
+    with pytest.raises(RuntimeError):
+        engine.submit(_samples_from_dataset(ds, 1)[0])
+
+
+def test_build_sample_schema(setup):
+    task, model, vocab, ds, params = setup
+    mmt = task.mmt
+    rng = np.random.RandomState(0)
+    n_obj, n_ocr = 5, 3
+    sample = build_sample(
+        task,
+        question_indices=np.array([101, 2054, 2003, 102] + [0] * 4),
+        question_mask=np.array([1, 1, 1, 1, 0, 0, 0, 0], np.float32),
+        obj_features=rng.randn(n_obj, 2048),
+        obj_boxes=np.tile([0.1, 0.1, 0.4, 0.4, 0.09], (n_obj, 1)),
+        ocr_tokens=["Stop", "exit", "7"],
+        ocr_features=rng.randn(n_ocr, 2048),
+        ocr_boxes=np.tile([0.5, 0.5, 0.8, 0.8, 0.09], (n_ocr, 1)),
+    )
+    for k in SAMPLE_KEYS:
+        assert k in sample, k
+    assert sample["pad_obj_features"].shape == (mmt.max_obj_num, 2048)
+    assert sample["ocr_phoc"].shape == (mmt.max_ocr_num, 604)
+    assert sample["spatial_classes"].shape == (
+        mmt.max_obj_num + mmt.max_ocr_num,
+    ) * 2
+    # diagonal of valid rows is the self-relation class 12
+    # (reference spatial_utils.py:206-209)
+    assert sample["spatial_classes"][0, 0] == 12
+    assert sample["ocr_tokens"][:3] == ["stop", "exit", "7"]
+    # cleaned/padded to max_ocr_num
+    assert len(sample["ocr_tokens"]) == mmt.max_ocr_num
+    # the sample is servable end-to-end
+    engine = ServingEngine(model, params, vocab, buckets=(1,))
+    engine.warmup()
+    with engine:
+        res = engine.submit(sample).result(timeout=60)
+    assert isinstance(res["answer"], str)

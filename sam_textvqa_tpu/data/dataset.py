@@ -32,6 +32,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import TaskConfig
+from ..ops.batcher import gather_rows
 from ..ops.phoc import build_phoc_batch
 from ..ops.spatial_graph import build_spatial_graph
 from .features import FeatureSource, pad_features
@@ -158,12 +159,6 @@ class SAMDataset:
         batch = {
             "question_indices": p.question_indices[indices],
             "question_mask": p.question_mask[indices],
-            "pad_obj_features": np.zeros((bsz, cfg.max_obj_num, 2048), np.float32),
-            "pad_obj_mask": np.zeros((bsz, cfg.max_obj_num), np.float32),
-            "pad_obj_bboxes": np.zeros((bsz, cfg.max_obj_num, 5), np.float32),
-            "pad_ocr_features": np.zeros((bsz, cfg.max_ocr_num, 2048), np.float32),
-            "pad_ocr_mask": np.zeros((bsz, cfg.max_ocr_num), np.float32),
-            "pad_ocr_bboxes": np.zeros((bsz, cfg.max_ocr_num, 5), np.float32),
             "ocr_fasttext": p.ocr_fasttext[indices].astype(np.float32),
             "ocr_phoc": np.unpackbits(
                 p.ocr_phoc_bits[indices], axis=-1
@@ -181,16 +176,20 @@ class SAMDataset:
             batch["train_loss_mask"] = np.zeros((bsz, t), np.float32)
             batch["train_acc_mask"] = np.zeros((bsz, t), np.float32)
             batch["targets"] = np.zeros((bsz, t, vocab_total), np.float32)
+        # feature rows gather as six single native passes (GIL-free,
+        # threaded on multi-core hosts; ops/batcher.py) instead of a
+        # per-row python copy loop — the batch-assembly analogue of the
+        # reference's DataLoader collate (reference task_utils.py:70-88)
+        obj_rows = [self._features("obj", p.image_ids[i]) for i in indices]
+        ocr_rows = [self._features("ocr", p.image_ids[i]) for i in indices]
+        for key, rows, col in (
+            ("pad_obj", obj_rows, 0), ("pad_obj", obj_rows, 1),
+            ("pad_obj", obj_rows, 2), ("pad_ocr", ocr_rows, 0),
+            ("pad_ocr", ocr_rows, 1), ("pad_ocr", ocr_rows, 2),
+        ):
+            name = key + ("_features", "_mask", "_bboxes")[col]
+            batch[name] = gather_rows([r[col] for r in rows])
         for row, i in enumerate(indices):
-            image_id = p.image_ids[i]
-            of, om, ob = self._features("obj", image_id)
-            cf, cm, cb = self._features("ocr", image_id)
-            batch["pad_obj_features"][row] = of
-            batch["pad_obj_mask"][row] = om
-            batch["pad_obj_bboxes"][row] = ob
-            batch["pad_ocr_features"][row] = cf
-            batch["pad_ocr_mask"][row] = cm
-            batch["pad_ocr_bboxes"][row] = cb
             match = p.matches[i]
             if match is not None and rng is not None:
                 sampled = self.answer_processor.sample_decoding_targets(

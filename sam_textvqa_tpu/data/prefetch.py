@@ -39,15 +39,23 @@ FEATURE_TRANSFER_KEYS = (
 def cast_features_for_transfer(batch: Dict, dtype) -> Dict:
     """Down-cast the big float32 feature arrays to the model compute dtype
     on the host. No-op unless ``dtype`` is a sub-f32 float (bf16/f16);
-    targets, masks, and int arrays are never touched."""
+    targets, masks, and int arrays are never touched. bf16 casts use the
+    threaded native pass on multi-core hosts (ops/batcher.py, bit-equal to
+    ml_dtypes' astype)."""
     np_dtype = np.dtype(dtype)
     if np_dtype.itemsize >= 4:  # f32/f64 model: ship f32 untouched
         return batch
+    from ..ops import batcher
+
+    native_bf16 = (
+        np_dtype == batcher.bf16_dtype() and batcher.parallel_cast_enabled()
+    )
     out = dict(batch)
     for k in FEATURE_TRANSFER_KEYS:
         v = out.get(k)
         if v is not None and getattr(v, "dtype", None) == np.float32:
-            out[k] = np.asarray(v).astype(np_dtype)
+            v = np.asarray(v)
+            out[k] = batcher.cast_bf16(v) if native_bf16 else v.astype(np_dtype)
     return out
 
 
@@ -92,12 +100,16 @@ def prefetch_to_device(
                     from ..parallel.mesh import stitch_process_local
 
                     dev = stitch_process_local(dev, sharding)
-                elif sharding is not None:
-                    dev = {
-                        k: jax.device_put(v, sharding) for k, v in dev.items()
-                    }
                 else:
-                    dev = {k: jax.device_put(v) for k, v in dev.items()}
+                    # ONE device_put of the whole dict: per-leaf puts pay a
+                    # full transfer round trip EACH on remote-attached TPUs
+                    # (~40 ms/leaf over a tunnel — the serving engine's
+                    # stage probe found this; SCALING.md "Online serving")
+                    dev = (
+                        jax.device_put(dev, sharding)
+                        if sharding is not None
+                        else jax.device_put(dev)
+                    )
                 if not _put({**dev, **host}):
                     return
             _put(_END)

@@ -143,7 +143,10 @@ class Evaluator:
 
         picked = {k: batch[k] for k in DECODE_KEYS if k in batch}
         picked = cast_features_for_transfer(picked, self.model.dtype)
-        return {k: jnp.asarray(v) for k, v in picked.items()}
+        # one device_put of the whole dict — per-leaf transfers pay a full
+        # RPC round trip each on remote-attached TPUs (SCALING.md "Online
+        # serving engine", rule 1)
+        return jax.device_put(picked)
 
     def run_split(
         self,

@@ -180,6 +180,31 @@ def test_submit_after_close_raises(setup):
         engine.submit(_samples_from_dataset(ds, 1)[0])
 
 
+def test_run_demo_paced_open_loop(setup, capsys):
+    """serve.run_demo with --rate paces submissions open-loop and reports
+    service-time stats alongside latency percentiles."""
+    import json
+    import sys as _sys
+
+    _sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    import serve
+
+    task, model, vocab, ds, params = setup
+    engine = ServingEngine(model, params, vocab, buckets=(1, 4),
+                           max_wait_ms=2.0)
+    engine.warmup()
+    with engine:
+        stats = serve.run_demo(task, vocab, engine, n=16, concurrency=4,
+                               rate=200.0)
+    assert stats["requests"] == 16
+    assert stats["errors"] == []
+    assert stats["service_ms_per_batch_p50"] > 0
+    # open loop at 200 q/s: 16 requests take >= 75 ms of schedule
+    assert stats["wall_s"] >= 16 / 200.0 * 0.9
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(out)["demo_requests"] == 16
+
+
 def test_build_sample_schema(setup):
     task, model, vocab, ds, params = setup
     mmt = task.mmt

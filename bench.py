@@ -48,6 +48,13 @@ DROPOUT_REUSE = os.environ.get("BENCH_DROPOUT_REUSE", "0") == "1"
 # BENCH_NODROP=1 zeroes EVERY dropout rate (train-mode ceiling run: how
 # much of the step is dropout RNG + mask application)
 NODROP = os.environ.get("BENCH_NODROP", "0") == "1"
+# BENCH_FUSED_DRAW=1 enables the fused dropout draw A/B backend
+# (MMTConfig.dropout_fused_draw) — batches all MMT-layer dropout bit
+# generation into a few large bernoulli calls. Identical iid Bernoulli
+# semantics but measured 26% SLOWER end-to-end (1069 vs 1437 samples/s:
+# the keep pages materialize in HBM; per-site draws fuse into consumers),
+# so the default stays off.
+FUSED_DRAW = os.environ.get("BENCH_FUSED_DRAW", "0") == "1"
 V5E_BF16_PEAK_FLOPS = 197e12  # per chip (TPU v5e spec)
 
 
@@ -89,10 +96,12 @@ def main():
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "configs/train-tvqa-eval-tvqa-c3.yml")
     )
-    if MODE == "train" and (DROPOUT_REUSE or NODROP):
+    if MODE == "train" and (DROPOUT_REUSE or NODROP or FUSED_DRAW):
         import dataclasses
 
         mmt_kw = {"dropout_mask_reuse": True} if DROPOUT_REUSE else {}
+        if FUSED_DRAW:
+            mmt_kw["dropout_fused_draw"] = True
         tb_kw = {}
         if NODROP:
             zeros = {

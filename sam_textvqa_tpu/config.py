@@ -120,6 +120,19 @@ class MMTConfig:
     # only the across-LAYER correlation changes vs the reference
     # (measured loss-curve impact: SCALING.md "dropout mask reuse").
     dropout_mask_reuse: bool = False
+    # OPT-IN (measured NEGATIVE result): draw each training step's
+    # MMT-layer dropout masks (attention probs + the two hidden sites per
+    # layer) as a few large fused bernoulli calls instead of ~18 per-site
+    # draws. Distribution is UNCHANGED — every element is still an
+    # independent Bernoulli(1-p). The fused draw is 26x faster than
+    # separate draws IN ISOLATION (tools/bench_dropout_draw.py), but in
+    # the real train step it is 26% SLOWER end-to-end (1069 vs 1437
+    # samples/s on v5e, BENCH_FUSED_DRAW=1): the pre-drawn keep pages
+    # (~390 MB/step of bools) must materialize in HBM and be re-read per
+    # layer — and saved as bwd residuals — whereas per-site draws let XLA
+    # fuse threefry bit-gen directly into each consuming elementwise op,
+    # so the bits never round-trip through HBM. Kept as an A/B backend.
+    dropout_fused_draw: bool = False
 
     @property
     def joint_length(self) -> int:

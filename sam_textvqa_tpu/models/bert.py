@@ -14,7 +14,13 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import Dense, LayerNormTF, gelu_erf, masked_softmax_attention
+from .layers import (
+    Dense,
+    LayerNormTF,
+    apply_keep_mask,
+    gelu_erf,
+    masked_softmax_attention,
+)
 
 
 class BertEmbeddings(nn.Module):
@@ -70,7 +76,8 @@ class BertSelfAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, bias, deterministic=True, shared_rngs=None):
+    def __call__(self, x, bias, deterministic=True, shared_rngs=None,
+                 attn_keep=None):
         b, l, d = x.shape
         h = self.num_heads
         hd = self.hidden_size // h
@@ -93,6 +100,7 @@ class BertSelfAttention(nn.Module):
             deterministic=deterministic,
             dropout_rng=shared,
             module=None if shared is not None else self,
+            keep_mask=attn_keep,
         )
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         return ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
@@ -105,11 +113,15 @@ class BertSelfOutput(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, residual, deterministic=True, rng=None):
+    def __call__(self, hidden, residual, deterministic=True, rng=None,
+                 keep_mask=None):
         hidden = Dense(self.hidden_size, dtype=self.dtype, name="dense")(hidden)
-        hidden = nn.Dropout(rate=self.hidden_dropout_prob)(
-            hidden, deterministic=deterministic, rng=rng
-        )
+        if keep_mask is not None and not deterministic and self.hidden_dropout_prob > 0:
+            hidden = apply_keep_mask(hidden, keep_mask, self.hidden_dropout_prob)
+        else:
+            hidden = nn.Dropout(rate=self.hidden_dropout_prob)(
+                hidden, deterministic=deterministic, rng=rng
+            )
         return LayerNormTF(
             epsilon=self.layer_norm_eps, dtype=self.dtype, name="LayerNorm"
         )(hidden + residual)
@@ -127,31 +139,39 @@ class BertLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, bias, deterministic=True, shared_rngs=None):
+    def __call__(self, x, bias, deterministic=True, shared_rngs=None,
+                 drop_masks=None):
         shared_rngs = shared_rngs or {}
+        drop_masks = drop_masks or {}
         attn = BertSelfAttention(
             hidden_size=self.hidden_size,
             num_heads=self.num_heads,
             dropout_rate=self.attention_probs_dropout_prob,
             dtype=self.dtype,
             name="attention_self",
-        )(x, bias, deterministic, shared_rngs=shared_rngs)
+        )(x, bias, deterministic, shared_rngs=shared_rngs,
+          attn_keep=drop_masks.get("attn"))
         attn_out = BertSelfOutput(
             hidden_size=self.hidden_size,
             hidden_dropout_prob=self.hidden_dropout_prob,
             layer_norm_eps=self.layer_norm_eps,
             dtype=self.dtype,
             name="attention_output",
-        )(attn, x, deterministic, rng=shared_rngs.get("self_out"))
+        )(attn, x, deterministic, rng=shared_rngs.get("self_out"),
+          keep_mask=drop_masks.get("self_out"))
         inter = gelu_erf(
             Dense(self.intermediate_size, dtype=self.dtype, name="intermediate_dense")(
                 attn_out
             )
         )
         out = Dense(self.hidden_size, dtype=self.dtype, name="output_dense")(inter)
-        out = nn.Dropout(rate=self.hidden_dropout_prob)(
-            out, deterministic=deterministic, rng=shared_rngs.get("ffn_out")
-        )
+        ffn_keep = drop_masks.get("ffn_out")
+        if ffn_keep is not None and not deterministic and self.hidden_dropout_prob > 0:
+            out = apply_keep_mask(out, ffn_keep, self.hidden_dropout_prob)
+        else:
+            out = nn.Dropout(rate=self.hidden_dropout_prob)(
+                out, deterministic=deterministic, rng=shared_rngs.get("ffn_out")
+            )
         return LayerNormTF(
             epsilon=self.layer_norm_eps, dtype=self.dtype, name="output_LayerNorm"
         )(out + attn_out)

@@ -34,6 +34,15 @@ def row_alive_from_bias(bias: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(bias, axis=-1, keepdims=True) > (MASK_BIAS / 2)
 
 
+def apply_keep_mask(x: jnp.ndarray, keep: jnp.ndarray, rate: float) -> jnp.ndarray:
+    """Inverted dropout with a PRE-DRAWN boolean keep mask — the same math
+    as ``nn.Dropout`` / the explicit bernoulli path (``where(keep,
+    x/(1-rate), 0)``), but with bit generation hoisted out so the MMT can
+    batch all layers' draws into a few large bernoulli calls
+    (MMTConfig.dropout_fused_draw; tools/bench_dropout_draw.py)."""
+    return jnp.where(keep, x / jnp.asarray(1.0 - rate, x.dtype), 0.0)
+
+
 def gelu_erf(x):
     return x * 0.5 * (1.0 + jax.lax.erf(x / jnp.sqrt(2.0).astype(x.dtype)))
 
@@ -97,6 +106,7 @@ def masked_softmax_attention(
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
     module: Optional[nn.Module] = None,
+    keep_mask: Optional[jnp.ndarray] = None,
 ):
     """softmax(scores + bias) with optional fully-masked-row zeroing.
 
@@ -110,7 +120,9 @@ def masked_softmax_attention(
     if zero_fully_masked:
         probs = probs * row_alive_from_bias(bias).astype(probs.dtype)
     if dropout_rate > 0.0 and not deterministic:
-        if module is not None:
+        if keep_mask is not None:
+            probs = apply_keep_mask(probs, keep_mask, dropout_rate)
+        elif module is not None:
             probs = nn.Dropout(rate=dropout_rate)(probs, deterministic=False)
         else:
             keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)

@@ -188,6 +188,65 @@ class MMT(nn.Module):
                 for i, name in enumerate(("attn", "self_out", "ffn_out"))
             }
 
+        # no_drop zeroes ONLY the spatial/implicit layers' attention-probs
+        # dropout (reference sa_m4c.py:434-436 — the override lives inside
+        # SpatialBertSelfAttention; normal layers and all hidden dropouts
+        # keep their configured rates)
+        spatial_attn_drop = 0.0 if cfg.no_drop else cfg.attention_probs_dropout_prob
+
+        # fused dropout draw (config.dropout_fused_draw, OPT-IN — measured
+        # 26% slower end-to-end, SCALING.md "fused dropout draw"): batch
+        # all MMT layers' dropout bit generation into a few LARGE bernoulli
+        # calls — one per (rate, heads) group for the attention-probs sites
+        # plus one for the 2-per-layer hidden sites — then hand each layer
+        # its pre-drawn keep-mask page. Every element remains an independent
+        # Bernoulli(1-p), exactly like per-site draws (reference dropout
+        # semantics, sa_m4c.py:434-436 + BertSelfOutput/BertOutput); only
+        # where the bits are generated changes (pre-drawn pages in HBM vs
+        # threefry fused into each consumer — which is why this loses).
+        fused_drops = None
+        if (
+            not deterministic
+            and cfg.dropout_fused_draw
+            and not cfg.dropout_mask_reuse
+        ):
+            n_layers = len(cfg.layer_type_list)
+            fused_drops = [dict() for _ in range(n_layers)]
+            base = self.make_rng("dropout")
+            attn_groups: Dict[tuple, list] = {}
+            for idx, layer_type in enumerate(cfg.layer_type_list):
+                if layer_type == "n":
+                    heads, rate = (
+                        cfg.num_attention_heads,
+                        cfg.attention_probs_dropout_prob,
+                    )
+                else:
+                    heads = cfg.num_spatial_relations + (
+                        cfg.num_implicit_relations if layer_type == "i" else 0
+                    )
+                    rate = spatial_attn_drop
+                if rate > 0.0:
+                    attn_groups.setdefault((rate, heads), []).append(idx)
+            for gi, ((rate, heads), idxs) in enumerate(
+                sorted(attn_groups.items())
+            ):
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(base, gi),
+                    1.0 - rate,
+                    (len(idxs), b, heads, length, length),
+                )
+                for j, idx in enumerate(idxs):
+                    fused_drops[idx]["attn"] = keep[j]
+            if cfg.hidden_dropout_prob > 0.0:
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(base, 255),
+                    1.0 - cfg.hidden_dropout_prob,
+                    (n_layers, 2, b, length, cfg.hidden_size),
+                )
+                for idx in range(n_layers):
+                    fused_drops[idx]["self_out"] = keep[idx, 0]
+                    fused_drops[idx]["ffn_out"] = keep[idx, 1]
+
         # combined boolean masks per spatial context key, built once
         # (skipped entirely on the pallas path — the kernel rebuilds the
         # bias in VMEM from the class matrix)
@@ -228,15 +287,12 @@ class MMT(nn.Module):
             )
             combined[cache_key] = allowed & base_ok
 
-        # no_drop zeroes ONLY the spatial/implicit layers' attention-probs
-        # dropout (reference sa_m4c.py:434-436 — the override lives inside
-        # SpatialBertSelfAttention; normal layers and all hidden dropouts
-        # keep their configured rates)
-        spatial_attn_drop = 0.0 if cfg.no_drop else cfg.attention_probs_dropout_prob
-
         # interleave layers per layer_type_list (reference :738-752)
         n_i = s_i = i_i = 0
-        for layer_type, mix in zip(cfg.layer_type_list, cfg.mix_list):
+        for layer_idx, (layer_type, mix) in enumerate(
+            zip(cfg.layer_type_list, cfg.mix_list)
+        ):
+            drop_masks = fused_drops[layer_idx] if fused_drops else None
             if layer_type == "n":
                 x = BertLayer(
                     hidden_size=cfg.hidden_size,
@@ -247,7 +303,8 @@ class MMT(nn.Module):
                     layer_norm_eps=cfg.layer_norm_eps,
                     dtype=self.dtype,
                     name=f"normal_layer_{n_i}",
-                )(x, base_bias, deterministic, shared_rngs=shared_rngs)
+                )(x, base_bias, deterministic, shared_rngs=shared_rngs,
+                  drop_masks=drop_masks)
                 n_i += 1
             elif layer_type == "s":
                 cache_key = (MATRIX_TYPE_MAP[mix], "s")
@@ -267,6 +324,7 @@ class MMT(nn.Module):
                     deterministic,
                     pallas_ctx=pallas_ctxs.get(cache_key),
                     shared_rngs=shared_rngs,
+                    drop_masks=drop_masks,
                 )
                 s_i += 1
             elif layer_type == "i":
@@ -281,7 +339,7 @@ class MMT(nn.Module):
                     dtype=self.dtype,
                     name=f"implicit_layer_{i_i}",
                 )(x, combined[(MATRIX_TYPE_MAP[mix], "i")], deterministic,
-                  shared_rngs=shared_rngs)
+                  shared_rngs=shared_rngs, drop_masks=drop_masks)
                 i_i += 1
             else:
                 raise ValueError(layer_type)

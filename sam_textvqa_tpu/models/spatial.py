@@ -135,7 +135,7 @@ class SpatialBertSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, combined_ok, deterministic=True, pallas_ctx=None,
-                 shared_rngs=None):
+                 shared_rngs=None, attn_keep=None):
         b, l, d = x.shape
         h = self.num_heads
         hd = self.hidden_size // h
@@ -184,6 +184,7 @@ class SpatialBertSelfAttention(nn.Module):
                 deterministic=deterministic,
                 dropout_rng=shared,
                 module=None if shared is not None else self,
+                keep_mask=attn_keep,
             )
             ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d)
@@ -212,11 +213,12 @@ class SpatialBertLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, combined_ok, deterministic=True, pallas_ctx=None,
-                 shared_rngs=None):
+                 shared_rngs=None, drop_masks=None):
         from .bert import BertSelfOutput
-        from .layers import LayerNormTF, gelu_erf
+        from .layers import LayerNormTF, apply_keep_mask, gelu_erf
 
         shared_rngs = shared_rngs or {}
+        drop_masks = drop_masks or {}
         attn = SpatialBertSelfAttention(
             hidden_size=self.hidden_size,
             num_heads=self.num_heads,
@@ -225,23 +227,28 @@ class SpatialBertLayer(nn.Module):
             dtype=self.dtype,
             name="attention_self",
         )(x, combined_ok, deterministic, pallas_ctx=pallas_ctx,
-          shared_rngs=shared_rngs)
+          shared_rngs=shared_rngs, attn_keep=drop_masks.get("attn"))
         attn_out = BertSelfOutput(
             hidden_size=self.hidden_size,
             hidden_dropout_prob=self.hidden_dropout_prob,
             layer_norm_eps=self.layer_norm_eps,
             dtype=self.dtype,
             name="attention_output",
-        )(attn, x, deterministic, rng=shared_rngs.get("self_out"))
+        )(attn, x, deterministic, rng=shared_rngs.get("self_out"),
+          keep_mask=drop_masks.get("self_out"))
         inter = gelu_erf(
             Dense(self.intermediate_size, dtype=self.dtype, name="intermediate_dense")(
                 attn_out
             )
         )
         out = Dense(self.hidden_size, dtype=self.dtype, name="output_dense")(inter)
-        out = nn.Dropout(rate=self.hidden_dropout_prob)(
-            out, deterministic=deterministic, rng=shared_rngs.get("ffn_out")
-        )
+        ffn_keep = drop_masks.get("ffn_out")
+        if ffn_keep is not None and not deterministic and self.hidden_dropout_prob > 0:
+            out = apply_keep_mask(out, ffn_keep, self.hidden_dropout_prob)
+        else:
+            out = nn.Dropout(rate=self.hidden_dropout_prob)(
+                out, deterministic=deterministic, rng=shared_rngs.get("ffn_out")
+            )
         return LayerNormTF(
             epsilon=self.layer_norm_eps, dtype=self.dtype, name="output_LayerNorm"
         )(out + attn_out)

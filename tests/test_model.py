@@ -371,3 +371,73 @@ def test_no_drop_zeroes_spatial_attention_dropout_only():
     np.testing.assert_array_equal(det_nd, trn_nd)
     det_d, trn_d = outputs(no_drop=False)
     assert not np.array_equal(det_d, trn_d)
+
+
+def test_dropout_fused_draw_mechanism_and_determinism():
+    """dropout_fused_draw (OPT-IN A/B backend, measured slower end-to-end —
+    SCALING.md "fused dropout draw") pre-draws all MMT-layer keep masks as
+    a few large bernoulli pages. Semantics must be unchanged: the
+    keep-mask application is the same inverted-dropout math as
+    ``nn.Dropout``, the deterministic forward is bit-identical with the
+    flag on or off, and the train forward stays stochastic and finite
+    (fwd + bwd)."""
+    from sam_textvqa_tpu.models.layers import apply_keep_mask
+
+    # building block: apply_keep_mask == where(keep, x/(1-p), 0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 6, 8))
+    keep = jax.random.bernoulli(jax.random.PRNGKey(1), 0.7, x.shape)
+    got = np.asarray(apply_keep_mask(x, keep, 0.3))
+    want = np.where(np.asarray(keep), np.asarray(x) / 0.7, 0.0)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    cfg = task_config_from_dict({"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 1}})
+    mmt = dataclasses.replace(
+        cfg.mmt, hidden_size=48, intermediate_size=96, ptr_query_size=48,
+        max_obj_num=8, max_ocr_num=6, num_decoding_steps=4, max_seq_length=6,
+    )
+    tb = dataclasses.replace(
+        cfg.text_bert, hidden_size=48, intermediate_size=96, num_attention_heads=4
+    )
+    task = dataclasses.replace(cfg, mmt=mmt, text_bert=tb)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in device_batch(make_batch(task, 2, num_answers_vocab=32)).items()
+    }
+    m_off = SAM4C(params_cfg=SAM4CParams(mmt, tb, 32))
+    m_on = SAM4C(
+        params_cfg=SAM4CParams(
+            dataclasses.replace(mmt, dropout_fused_draw=True), tb, 32
+        )
+    )
+    params = m_off.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+
+    # deterministic forward: flag changes nothing
+    out_off = m_off.apply({"params": params}, batch, deterministic=True)
+    out_on = m_on.apply({"params": params}, batch, deterministic=True)
+    np.testing.assert_array_equal(
+        np.asarray(out_off["scores"]), np.asarray(out_on["scores"])
+    )
+
+    # train forward: stochastic across keys, finite, and bwd works
+    t1 = m_on.apply(
+        {"params": params}, batch, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    )
+    t2 = m_on.apply(
+        {"params": params}, batch, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    assert np.isfinite(np.asarray(t1["scores"])).all()
+    assert not np.array_equal(np.asarray(t1["scores"]), np.asarray(t2["scores"]))
+
+    def loss(p):
+        out = m_on.apply(
+            {"params": p}, batch, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(3)},
+        )
+        return jnp.sum(out["scores"] ** 2)
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert any(np.abs(np.asarray(g)).sum() > 0 for g in leaves)

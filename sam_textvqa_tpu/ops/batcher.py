@@ -32,11 +32,22 @@ _CSRC_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 _THREADS_ENV = "SAM_BATCHER_THREADS"
 
 
+#: below this many bytes a pass runs single-threaded: csrc's parallel()
+#: spawns fresh std::threads per call (no pool), and create/join costs
+#: ~tens of us each — more than the memcpy of a small mask/bbox array
+#: (6 gather calls per batch, 4 of them tiny; see data/dataset.py)
+_SMALL_PASS_BYTES = 1 << 22  # 4 MiB
+
+
 def _num_threads() -> int:
     env = os.environ.get(_THREADS_ENV, "")
     if env.strip():
         return max(1, int(env))
     return max(1, min(os.cpu_count() or 1, 8))
+
+
+def _threads_for(total_bytes: int) -> int:
+    return 1 if total_bytes < _SMALL_PASS_BYTES else _num_threads()
 
 
 def _try_build_native() -> Optional[str]:
@@ -135,7 +146,8 @@ def gather_rows(
             out[i] = r.astype(dtype) if cast_bf16 else r
         return out
     fn = lib.sam_gather_cast_bf16 if cast_bf16 else lib.sam_gather_f32
-    fn(_row_ptrs(rows), n, elems, out.ctypes.data, _num_threads())
+    fn(_row_ptrs(rows), n, elems, out.ctypes.data,
+       _threads_for(n * elems * 4))
     return out
 
 
@@ -155,5 +167,5 @@ def cast_bf16(src: np.ndarray, out: Optional[np.ndarray] = None) -> np.ndarray:
     assert out.shape == src.shape and out.dtype == dtype
     assert out.flags.c_contiguous
     lib.sam_cast_bf16(src.ctypes.data, src.size, out.ctypes.data,
-                      _num_threads())
+                      _threads_for(src.size * 4))
     return out

@@ -38,7 +38,7 @@ import time
 from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
-from queue import Empty, Queue
+from queue import Empty, Full, Queue
 from typing import Dict, List, Optional, Sequence
 
 import jax
@@ -137,7 +137,8 @@ def build_sample(
 
 @dataclass
 class ServingStats:
-    """Rolling serving metrics (thread-safe via the engine's lock)."""
+    """Rolling serving metrics (thread-safe: every mutation and
+    ``summary()`` take the stats' own ``lock``)."""
 
     requests: int = 0
     batches: int = 0
@@ -148,19 +149,33 @@ class ServingStats:
     #: time, free of queueing (under a closed-loop flood latencies_ms is
     #: dominated by queue time; this is the serving-capacity number)
     service_ms: deque = field(default_factory=lambda: deque(maxlen=4096))
-    started: float = field(default_factory=time.time)
+    #: monotonic stamp of the FIRST submitted request — not engine
+    #: construction, so throughput_qps never amortizes warmup compile time
+    started: Optional[float] = None
+    lock: threading.Lock = field(
+        default_factory=threading.Lock, repr=False, compare=False
+    )
 
     def summary(self) -> Dict:
-        lat = np.asarray(self.latencies_ms, np.float64)
-        svc = np.asarray(self.service_ms, np.float64)
-        elapsed = max(time.time() - self.started, 1e-9)
-        out = {
-            "requests": self.requests,
-            "batches": self.batches,
-            "padded_rows": self.padded_rows,
-            "occupancy": dict(sorted(self.occupancy.items())),
-            "throughput_qps": self.requests / elapsed,
-        }
+        with self.lock:
+            lat = np.asarray(self.latencies_ms, np.float64)
+            svc = np.asarray(self.service_ms, np.float64)
+            requests = self.requests
+            out = {
+                "requests": requests,
+                "batches": self.batches,
+                "padded_rows": self.padded_rows,
+                "occupancy": dict(sorted(self.occupancy.items())),
+            }
+            started = self.started
+        elapsed = (
+            max(time.monotonic() - started, 1e-9)
+            if started is not None
+            else None
+        )
+        out["throughput_qps"] = (
+            requests / elapsed if elapsed is not None else 0.0
+        )
         if lat.size:
             out.update(
                 latency_ms_p50=float(np.percentile(lat, 50)),
@@ -181,7 +196,11 @@ class _Pending(Future):
     def __init__(self, sample: Dict):
         super().__init__()
         self.sample = sample
-        self.t_submit = time.time()
+        self.t_submit = time.monotonic()
+        #: set when a batch this request rode in failed and it was
+        #: re-enqueued for an isolated (un-coalesced) retry — a second
+        #: failure then blames this request alone
+        self.solo = False
 
 
 class ServingEngine:
@@ -213,6 +232,15 @@ class ServingEngine:
     ):
         assert buckets and all(b > 0 for b in buckets), buckets
         self.model = model
+        # Host (numpy) param leaves would be re-uploaded by jit on EVERY
+        # batch — per-leaf transfers, the exact remote-TPU RPC pathology
+        # ``_place`` exists to avoid. Checkpoint restores hand back numpy
+        # trees, so place them once here (one pytree transfer); trees that
+        # are already jax.Arrays (possibly sharded) pass through untouched.
+        if any(
+            isinstance(leaf, np.ndarray) for leaf in jax.tree.leaves(params)
+        ):
+            params = jax.device_put(params)
         self.params = params
         self.answer_vocab = answer_vocab
         self.special = answer_vocab.special_ids()
@@ -221,10 +249,17 @@ class ServingEngine:
         self.decode_backend = decode_backend
         self.device_put = device_put
         self.stats = ServingStats()
-        self._lock = threading.Lock()
+        #: requests popped from the queue whose futures are not yet
+        #: resolved (guarded by stats.lock); close(flush=True) waits on it
+        self._inflight = 0
         self._queue: "Queue[_Pending]" = Queue(maxsize=max_queue)
         self._results: "Queue" = Queue(maxsize=pipeline_depth)
         self._stop = threading.Event()
+        self._schema = {
+            k: v.shape
+            for k, v in self._zero_sample().items()
+            if k in SAMPLE_KEYS
+        }
         self._greedy = self._make_greedy()
         self._batcher = threading.Thread(
             target=self._batch_loop, name="serving-batcher", daemon=True
@@ -316,14 +351,40 @@ class ServingEngine:
             self._consumer.start()
         return self
 
+    def _validate(self, sample: Dict) -> Dict:
+        """Shape-check a request against the model schema on the CALLER's
+        thread, so one malformed request raises at ``submit`` instead of
+        failing every innocent request coalesced into its batch."""
+        out = {}
+        for k, want in self._schema.items():
+            if k not in sample:
+                raise KeyError(f"request missing {k!r}")
+            arr = np.asarray(sample[k])
+            if arr.shape != want:
+                raise ValueError(
+                    f"request {k!r} has shape {arr.shape}, expected {want}"
+                )
+            out[k] = arr
+        # normalize OCR tokens to exactly max_ocr_num entries: a short list
+        # would IndexError the answer decode for any OCR-pointer prediction
+        tokens = [str(t) for t in sample.get("ocr_tokens", [])]
+        n_ocr = self._schema["pad_ocr_mask"][0]
+        out["ocr_tokens"] = (tokens + ["<pad>"] * n_ocr)[:n_ocr]
+        return out
+
     def submit(self, sample: Dict) -> Future:
         """Enqueue one request; resolves to ``{"answer", "belongs_to",
         "latency_ms"}``. ``sample`` follows the SAMPLE_KEYS schema plus an
-        ``ocr_tokens`` string list (see :func:`build_sample`)."""
+        ``ocr_tokens`` string list (see :func:`build_sample`). Malformed
+        requests (wrong shapes / missing keys) raise here, synchronously."""
         if self._stop.is_set():
             raise RuntimeError("engine is closed")
+        sample = self._validate(sample)
         if not self._threads_started:
             self.start()
+        with self.stats.lock:
+            if self.stats.started is None:
+                self.stats.started = time.monotonic()
         # Down-cast features to the compute dtype NOW, on the caller's
         # thread: halves the bytes the (single) batcher thread must stack
         # and parallelizes the cast across submitters. Bit-identical to
@@ -336,13 +397,20 @@ class ServingEngine:
         return [self.submit(s) for s in samples]
 
     def close(self, flush: bool = True, timeout: float = 60.0):
-        """Stop the worker threads; ``flush`` first drains queued work."""
+        """Stop the worker threads; ``flush`` first drains queued AND
+        in-flight work (a batch the batcher has popped but the consumer has
+        not yet answered counts — ``_inflight`` tracks it)."""
         if flush and self._threads_started:
-            deadline = time.time() + timeout
-            while (
-                (not self._queue.empty() or not self._results.empty())
-                and time.time() < deadline
-            ):
+            deadline = time.monotonic() + timeout
+            while time.monotonic() < deadline:
+                with self.stats.lock:
+                    inflight = self._inflight
+                if (
+                    self._queue.empty()
+                    and self._results.empty()
+                    and inflight == 0
+                ):
+                    break
                 time.sleep(0.005)
         self._stop.set()
         if self._threads_started:
@@ -364,6 +432,23 @@ class ServingEngine:
 
     # ---- worker threads -------------------------------------------------
 
+    def _resolve_group(self, group: List[_Pending], exc: BaseException):
+        """Fail a group's futures — or, for multi-request groups, re-enqueue
+        each request for an ISOLATED retry, so one poisonous request cannot
+        fail innocents coalesced into its batch (a solo retry that fails
+        again is blamed alone). In-flight accounting stays with the caller."""
+        for g in group:
+            if g.done():
+                continue
+            if len(group) > 1 and not g.solo and not self._stop.is_set():
+                g.solo = True
+                try:
+                    self._queue.put_nowait(g)
+                    continue
+                except Full:
+                    pass
+            g.set_exception(exc)
+
     def _batch_loop(self):
         max_bucket = self.buckets[-1]
         while not self._stop.is_set():
@@ -372,15 +457,21 @@ class ServingEngine:
             except Empty:
                 continue
             group = [first]
-            deadline = time.time() + self.max_wait_s
-            while len(group) < max_bucket:
-                remaining = deadline - time.time()
+            deadline = time.monotonic() + self.max_wait_s
+            # a ``solo`` request is an isolated retry — never coalesce it
+            while not first.solo and len(group) < max_bucket:
+                remaining = deadline - time.monotonic()
                 if remaining <= 0 and self._queue.empty():
                     break
                 try:
-                    group.append(self._queue.get(timeout=max(remaining, 0)))
+                    nxt = self._queue.get(timeout=max(remaining, 0))
                 except Empty:
                     break
+                group.append(nxt)
+                if nxt.solo:
+                    break  # decode it with its current group, no more soaking
+            with self.stats.lock:
+                self._inflight += len(group)
             try:
                 bucket = self._pick_bucket(len(group))
                 batch = self._place(
@@ -388,20 +479,30 @@ class ServingEngine:
                 )
                 # async dispatch: hand the un-fetched result to the consumer
                 _, pred_ids = self._greedy(self.params, batch)
-                with self._lock:
+                with self.stats.lock:
                     self.stats.batches += 1
                     self.stats.padded_rows += bucket - len(group)
                     self.stats.occupancy[bucket] = (
                         self.stats.occupancy.get(bucket, 0) + 1
                     )
-                self._results.put((group, pred_ids, time.time()))
-            except BaseException as e:  # malformed request: fail, keep serving
-                for g in group:
-                    if not g.done():
-                        g.set_exception(e)
+                self._results.put((group, pred_ids, time.monotonic()))
+            except BaseException as e:  # bad batch: isolate/fail, keep serving
+                self._resolve_group(group, e)
+                # resolved or re-enqueued here — no longer in flight (a
+                # re-enqueued solo retry re-increments when popped again)
+                with self.stats.lock:
+                    self._inflight -= len(group)
 
     def _consume_loop(self):
-        while not (self._stop.is_set() and self._results.empty()):
+        # run until: stop requested AND the batcher can no longer produce
+        # (it exits only between batches) AND nothing is left to consume —
+        # checking _results alone would strand a batch the batcher holds
+        # in flight at stop time
+        while not (
+            self._stop.is_set()
+            and not self._batcher.is_alive()
+            and self._results.empty()
+        ):
             try:
                 group, pred_ids, t_disp = self._results.get(timeout=0.05)
             except Empty:
@@ -414,8 +515,8 @@ class ServingEngine:
                     self.answer_vocab.word_list,
                     self.special.eos,
                 )
-                now = time.time()
-                with self._lock:
+                now = time.monotonic()
+                with self.stats.lock:
                     self.stats.requests += len(group)
                     self.stats.service_ms.append((now - t_disp) * 1000.0)
                     for g in group:
@@ -431,6 +532,9 @@ class ServingEngine:
                         }
                     )
             except BaseException as e:  # never strand a future
-                for g in group:
-                    if not g.done():
-                        g.set_exception(e)
+                self._resolve_group(group, e)
+            finally:
+                # every popped group leaves flight exactly once (solo
+                # retries re-increment when the batcher pops them again)
+                with self.stats.lock:
+                    self._inflight -= len(group)

@@ -154,7 +154,9 @@ def test_concurrent_submitters(setup):
         assert ans == by_qid[int(qids[i])]
 
 
-def test_bad_request_fails_future_but_not_engine(setup):
+def test_bad_request_fails_at_submit_not_engine(setup):
+    """Malformed requests raise synchronously on the SUBMITTER's thread —
+    they never enter a batch, so they cannot poison coalesced innocents."""
     task, model, vocab, ds, params = setup
     engine = ServingEngine(
         model, params, vocab, buckets=(1,), max_wait_ms=1.0
@@ -163,12 +165,129 @@ def test_bad_request_fails_future_but_not_engine(setup):
     good = _samples_from_dataset(ds, 1)[0]
     bad = dict(good)
     bad["pad_obj_features"] = np.zeros((3, 7), np.float32)  # wrong shape
+    missing = {k: v for k, v in good.items() if k != "question_mask"}
     with engine:
-        f_bad = engine.submit(bad)
-        with pytest.raises(Exception):
-            f_bad.result(timeout=60)
+        with pytest.raises(ValueError):
+            engine.submit(bad)
+        with pytest.raises(KeyError):
+            engine.submit(missing)
         f_good = engine.submit(good)
         assert "answer" in f_good.result(timeout=60)
+
+
+def test_short_ocr_token_list_is_padded(setup):
+    """A request whose ocr_tokens list is shorter than max_ocr_num decodes
+    without IndexError even when the model points at a padded OCR slot."""
+    task, model, vocab, ds, params = setup
+    good = _samples_from_dataset(ds, 1)[0]
+    short = dict(good)
+    short["ocr_tokens"] = list(good["ocr_tokens"][:1])
+    engine = ServingEngine(model, params, vocab, buckets=(1,))
+    engine.warmup()
+    with engine:
+        res = engine.submit(short).result(timeout=60)
+    assert isinstance(res["answer"], str)
+
+
+def test_batch_failure_retries_requests_isolated(setup):
+    """When a BATCH fails (post-validation, e.g. a device error), the
+    engine retries each member isolated instead of failing innocents that
+    were merely coalesced with a poisonous request; a request whose solo
+    retry fails again is blamed alone."""
+    task, model, vocab, ds, params = setup
+    engine = ServingEngine(
+        model, params, vocab, buckets=(1, 4), max_wait_ms=100.0
+    )
+    engine.warmup()
+    samples = _samples_from_dataset(ds, 3)
+    orig_stack = engine._stack
+
+    def exploding_stack(group_samples, bucket):
+        if len(group_samples) > 1:
+            raise RuntimeError("batch-level failure")
+        return orig_stack(group_samples, bucket)
+
+    engine._stack = exploding_stack
+    with engine:
+        futs = engine.submit_many(samples)
+        results = [f.result(timeout=60) for f in futs]
+    # every request was answered via isolated (bucket-1) retries
+    assert all("answer" in r for r in results)
+    # the multi-request group failed once, then >= 3 solo batches ran
+    assert engine.stats.occupancy.get(1, 0) >= 3
+
+
+def test_solo_retry_failure_blames_only_that_request(setup):
+    """A request whose isolated retry ALSO fails gets the exception; it is
+    not re-enqueued forever."""
+    task, model, vocab, ds, params = setup
+    engine = ServingEngine(
+        model, params, vocab, buckets=(1, 4), max_wait_ms=100.0
+    )
+    engine.warmup()
+    samples = _samples_from_dataset(ds, 2)
+
+    def always_exploding_stack(group_samples, bucket):
+        raise RuntimeError("persistent failure")
+
+    engine._stack = always_exploding_stack
+    with engine:
+        futs = engine.submit_many(samples)
+        for f in futs:
+            with pytest.raises(RuntimeError, match="persistent failure"):
+                f.result(timeout=60)
+
+
+def test_close_flush_waits_for_inflight_batch(setup):
+    """close(flush=True) must not strand a batch the batcher already popped
+    from the queue (in flight) but the consumer has not answered yet."""
+    task, model, vocab, ds, params = setup
+    engine = ServingEngine(
+        model, params, vocab, buckets=(1, 4), max_wait_ms=50.0
+    )
+    engine.warmup()
+    futs = engine.submit_many(_samples_from_dataset(ds, 4))
+    # close immediately: the group may still be coalescing or in flight
+    engine.close(flush=True)
+    for f in futs:
+        assert "answer" in f.result(timeout=5)
+
+
+def test_tp_sharded_engine_matches_replicated(setup):
+    """ServingEngine over a DP x TP mesh (sharded params + a data-sharded
+    batch placement via the ``device_put`` hook) answers identically to the
+    plain replicated engine — the online-serving analogue of
+    test_sharding.test_sharded_greedy_decode_matches_single_device
+    (SCALING.md: TP is the batch-1 latency lever)."""
+    from sam_textvqa_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        shard_params,
+    )
+
+    task, model, vocab, ds, params = setup
+    samples = _samples_from_dataset(ds, 8)
+
+    plain = ServingEngine(model, params, vocab, buckets=(4, 8),
+                          max_wait_ms=50.0)
+    plain.warmup()
+    with plain:
+        want = [f.result(timeout=60)["answer"]
+                for f in plain.submit_many(samples)]
+
+    mesh = make_mesh(8, model_parallel=2)
+    params_m = jax.device_put(params, shard_params(
+        params, mesh, tensor_parallel=True))
+    bs = batch_sharding(mesh)
+    engine = ServingEngine(
+        model, params_m, vocab, buckets=(4, 8), max_wait_ms=50.0,
+        device_put=lambda host_batch: jax.device_put(host_batch, bs),
+    )
+    engine.warmup()
+    with engine:
+        got = [f.result(timeout=60)["answer"]
+               for f in engine.submit_many(samples)]
+    assert got == want
 
 
 def test_submit_after_close_raises(setup):

@@ -37,7 +37,10 @@ PRNG = os.environ.get("BENCH_PRNG", "threefry")
 # (ops/fused_attention.py) against the default XLA path
 ATTN = os.environ.get("BENCH_ATTN", "xla")
 # BENCH_DECODE selects the eval decode backend
-# (auto | xla | xla_flat | fused | mega)
+# (auto | xla | xla_early | xla_flat | fused | mega); note xla_early with
+# random bench params never emits EOS, so it measures the while_loop's
+# WORST case (all 12 steps + dynamic-trip-count overhead) — the win shows
+# on trained checkpoints / tools/bench_early_exit.py
 DECODE = os.environ.get("BENCH_DECODE", "auto")
 # BENCH_DROPOUT_REUSE=1 enables per-site-type dropout mask reuse across
 # the 6 MMT layers (config.dropout_mask_reuse): +5.6% throughput, but the
@@ -160,7 +163,9 @@ def main():
             if MODE == "beam":
                 seqs, _ = beam_search_decode_fast(model, p, b, BEAM, 1, 2)
                 return seqs[:, 0, :]
-            _, pred = greedy_decode_fast(model, p, b, 1, backend=DECODE)
+            _, pred = greedy_decode_fast(
+                model, p, b, 1, backend=DECODE, eos_idx=2
+            )
             return pred
 
         carry = jnp.zeros(

@@ -118,10 +118,12 @@ class Evaluator:
             bos = self.special.bos
             if self.fast_decode:
                 backend = self.decode_backend
+                eos = self.special.eos
 
                 def decode(model, params, batch, bos_idx):
                     return greedy_decode_fast(
-                        model, params, batch, bos_idx, backend=backend
+                        model, params, batch, bos_idx, backend=backend,
+                        eos_idx=eos,
                     )
             else:
                 decode = greedy_decode

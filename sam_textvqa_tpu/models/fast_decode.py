@@ -899,8 +899,81 @@ def _decode_one_row_beams(params, cfg: MMTConfig, cache: MMTCache,
     return _output_head(params, classifier_weight, ptr_keys, x), tuple(new_dec_kv)
 
 
+def _greedy_early_exit(params, cfg: MMTConfig, cache, classifier_weight,
+                       tables, ans_num, ptr_keys, dtype, b: int,
+                       bos_idx: int, eos_idx: int):
+    """Greedy decode as a ``lax.while_loop`` that stops as soon as EVERY
+    row in the batch has emitted EOS.
+
+    The reference always runs all ``num_decoding_steps`` steps (reference
+    sa_m4c.py:285-302 — a fixed ``for`` over 12 dec_steps); with a trained
+    checkpoint TextVQA answers average ~2 words, so most batches finish in
+    a fraction of the step budget and the remaining steps are pure waste.
+    A dynamic trip count is data-dependent control flow, which is exactly
+    what ``lax.while_loop`` exists for on TPU — every shape in the carry
+    stays static; only the iteration count varies.
+
+    Contract vs the fixed-step path: per row, ``pred_ids`` match exactly
+    up to and including that row's first EOS (greedy decoding is causal:
+    step t depends only on tokens < t, which are final once emitted);
+    positions after the EXIT step are filled with a one-hot EOS score row,
+    so downstream answer decoding (which stops at the first EOS) is
+    bit-identical. Raw scores past the exit step are NOT computed — that
+    is the point.
+
+    Returns ``(scores, pred_ids, steps_run)``; ``steps_run`` is the number
+    of loop iterations actually executed (a device scalar — tests assert
+    it shrinks under EOS-biased params).
+    """
+    t_max = cfg.num_decoding_steps
+
+    def kv_buf(layer_type):
+        h = _layer_heads(cfg, layer_type)
+        return (
+            jnp.zeros((b, h, t_max, cfg.hidden_size // h), dtype),
+            jnp.zeros((b, h, t_max, cfg.hidden_size // h), dtype),
+        )
+
+    dec_kv0 = tuple(kv_buf(lt) for lt in cfg.layer_type_list)
+    # un-written steps argmax to EOS by construction: rows the loop never
+    # reaches read as a one-hot EOS distribution (same dtype as the real
+    # logits, so the return matches the fixed-step backend's)
+    scores0 = jnp.zeros((b, t_max, ans_num + cache.ocr_mmt_in.shape[1]),
+                        dtype)
+    scores0 = scores0.at[:, :, eos_idx].set(1.0)
+    carry0 = (
+        jnp.zeros((), jnp.int32),                       # t
+        jnp.full((b,), bos_idx, dtype=jnp.int32),       # prev token
+        jnp.zeros((b,), jnp.bool_),                     # row emitted EOS
+        dec_kv0,
+        scores0,
+    )
+
+    def cond_fn(carry):
+        t, _token, done, _kv, _scores = carry
+        return jnp.logical_and(t < t_max, jnp.logical_not(jnp.all(done)))
+
+    def body_fn(carry):
+        t, token, done, dec_kv, scores = carry
+        x = _dec_row_embedding(
+            params, cfg, tables, ans_num, token, t
+        ).astype(dtype)
+        logits, dec_kv = _decode_one_row(
+            params, cfg, cache, classifier_weight, ptr_keys, x, dec_kv, t
+        )
+        scores = jax.lax.dynamic_update_slice_in_dim(
+            scores, logits[:, None, :].astype(scores.dtype), t, axis=1
+        )
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        done = jnp.logical_or(done, token == eos_idx)
+        return (t + 1, token, done, dec_kv, scores)
+
+    t_final, _, _, _, scores = jax.lax.while_loop(cond_fn, body_fn, carry0)
+    return scores, jnp.argmax(scores, axis=-1).astype(jnp.int32), t_final
+
+
 def greedy_decode_fast(model, params, batch, bos_idx: int,
-                       backend: str = "auto"):
+                       backend: str = "auto", eos_idx: int = None):
     """Greedy decode: encoder cache + true incremental decoding.
 
     Phase 1 runs the MMT once over the 170 encoder tokens (build_mmt_cache).
@@ -911,23 +984,30 @@ def greedy_decode_fast(model, params, batch, bos_idx: int,
     (reference sa_m4c.py:285-302). ~12x less decode compute than even the
     cached-encoder multi-row variant.
 
-    ``backend``: "xla" = pure-XLA one-row steps; "fused" = pallas decode
-    attention (ops/decode_attention.py; raises if the config is
-    unsupported); "auto" currently resolves to "xla" — the per-layer
-    fused kernel measured SLOWER on v5e (2025 vs 3277 samples/s: each
-    pallas call stalls on its 33 MB enc-K/V DMA, where XLA overlaps the
-    reads across neighboring fusions; see SCALING.md). It stays as an
-    opt-in A/B baseline for the per-step megakernel.
+    ``backend``: "xla" = pure-XLA one-row steps; "xla_early" = the same
+    steps inside a ``lax.while_loop`` that exits once every row has
+    emitted EOS (requires ``eos_idx``; per-row answers are identical, raw
+    scores past the exit step are one-hot EOS filler — see
+    :func:`_greedy_early_exit`); "fused" = pallas decode attention
+    (ops/decode_attention.py; raises if the config is unsupported);
+    "auto" currently resolves to "xla" — the per-layer fused kernel
+    measured SLOWER on v5e (2025 vs 3277 samples/s: each pallas call
+    stalls on its 33 MB enc-K/V DMA, where XLA overlaps the reads across
+    neighboring fusions; see SCALING.md). It stays as an opt-in A/B
+    baseline for the per-step megakernel.
 
     Same outputs as models.sa_m4c.greedy_decode (verified in tests).
     """
     from .sa_m4c import SAM4C
 
-    if backend not in ("auto", "xla", "xla_flat", "fused", "mega"):
+    if backend not in ("auto", "xla", "xla_early", "xla_flat", "fused",
+                       "mega"):
         raise ValueError(
             f"unknown decode backend {backend!r} "
-            "(expected auto | xla | xla_flat | fused | mega)"
+            "(expected auto | xla | xla_early | xla_flat | fused | mega)"
         )
+    if backend == "xla_early" and eos_idx is None:
+        raise ValueError("backend 'xla_early' requires eos_idx")
     cfg = model.params_cfg.mmt
     t_max = cfg.num_decoding_steps
     encodings = model.apply(
@@ -982,6 +1062,13 @@ def greedy_decode_fast(model, params, batch, bos_idx: int,
             params, batch, bos_idx, cfg, cache, classifier_weight,
             tables, ans_num, ptr_keys, dtype, interpret
         )
+
+    if backend == "xla_early":
+        scores, pred_ids, _steps = _greedy_early_exit(
+            params, cfg, cache, classifier_weight, tables, ans_num,
+            ptr_keys, dtype, b, bos_idx, eos_idx
+        )
+        return scores, pred_ids
 
     def kv_buf(layer_type):
         if use_fused or use_flat:

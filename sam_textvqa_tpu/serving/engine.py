@@ -275,12 +275,14 @@ class ServingEngine:
         from ..models.fast_decode import greedy_decode_fast
 
         bos = self.special.bos
+        eos = self.special.eos
         backend = self.decode_backend
 
         @jax.jit
         def fn(params, device_batch):
             return greedy_decode_fast(
-                self.model, params, device_batch, bos, backend=backend
+                self.model, params, device_batch, bos, backend=backend,
+                eos_idx=eos,
             )
 
         return fn

@@ -55,7 +55,8 @@ def get_args():
     p.add_argument("--max_wait_ms", type=float, default=2.0)
     p.add_argument(
         "--decode_backend",
-        choices=["auto", "xla", "xla_flat", "fused", "mega"], default="auto",
+        choices=["auto", "xla", "xla_early", "xla_flat", "fused", "mega"],
+        default="auto",
     )
     p.add_argument("--demo", type=int, default=0,
                    help="submit N synthetic requests and print stats")

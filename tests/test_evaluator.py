@@ -53,6 +53,24 @@ def test_run_split_greedy(setup, tmp_path):
     assert len(payload) == 12 and {"question_id", "answer"} <= set(payload[0])
 
 
+def test_run_split_greedy_xla_early_same_answers(setup):
+    """decode_backend="xla_early" (all-rows-EOS while_loop exit) must
+    produce the same predictions and accuracy through the full evaluator
+    path — answer decoding stops at the first EOS, which the early-exit
+    contract preserves exactly."""
+    task, model, vocab, ds, params = setup
+    want = Evaluator(model, vocab).run_split(
+        params, EpochBatcher(ds, 4, shuffle=False).epoch_batches()
+    )
+    got = Evaluator(model, vocab, decode_backend="xla_early").run_split(
+        params, EpochBatcher(ds, 4, shuffle=False).epoch_batches()
+    )
+    assert got["accuracy"] == want["accuracy"]
+    assert [p["pred_answer"] for p in got["predictions"]] == [
+        p["pred_answer"] for p in want["predictions"]
+    ]
+
+
 def test_run_split_external_gt(setup):
     task, model, vocab, ds, params = setup
     ds_no_ans = SyntheticDataset(task, 12, num_answers_vocab=len(vocab),

@@ -341,3 +341,111 @@ def test_greedy_xla_flat_backend_matches_xla():
         np.testing.assert_allclose(
             np.asarray(s_x), np.asarray(s_f), rtol=2e-5, atol=2e-5
         )
+
+
+def _first_eos_exit_step(pred_ids: np.ndarray, t_max: int) -> int:
+    """Step after which the early-exit loop stops: one past the LAST row's
+    first EOS (the loop is batch-global), or t_max if any row never emits."""
+    exit_step = 0
+    for row in pred_ids:
+        hits = np.flatnonzero(row == EOS)
+        if hits.size == 0:
+            return t_max
+        exit_step = max(exit_step, int(hits[0]) + 1)
+    return exit_step
+
+
+def test_greedy_xla_early_matches_xla_up_to_eos(tiny):
+    """backend="xla_early" must match the fixed-step path exactly for every
+    step the loop actually runs (everything up to the batch's last first-EOS);
+    positions past the exit step are EOS-filled by contract."""
+    task, model, batch, params = tiny
+    t_max = task.mmt.num_decoding_steps
+    s_ref, p_ref = greedy_decode_fast(model, params, batch, BOS, backend="xla")
+    s_e, p_e = greedy_decode_fast(
+        model, params, batch, BOS, backend="xla_early", eos_idx=EOS
+    )
+    p_ref, p_e = np.asarray(p_ref), np.asarray(p_e)
+    exit_step = _first_eos_exit_step(p_ref, t_max)
+    np.testing.assert_array_equal(p_e[:, :exit_step], p_ref[:, :exit_step])
+    np.testing.assert_allclose(
+        np.asarray(s_e)[:, :exit_step], np.asarray(s_ref)[:, :exit_step],
+        rtol=2e-5, atol=2e-5,
+    )
+    assert (p_e[:, exit_step:] == EOS).all()
+
+
+def test_greedy_xla_early_skips_steps_after_all_eos(tiny):
+    """With params biased so step 0 already argmaxes to EOS for every row,
+    the while_loop must run exactly ONE step: scores at t>=1 are the
+    untouched one-hot EOS filler (proving those steps never executed),
+    unlike the fixed-step path whose later rows hold real logits."""
+    task, model, batch, params = tiny
+    biased = dict(params)
+    biased["classifier_bias"] = params["classifier_bias"].at[EOS].add(1e4)
+    s_e, p_e = greedy_decode_fast(
+        model, biased, batch, BOS, backend="xla_early", eos_idx=EOS
+    )
+    s_e, p_e = np.asarray(s_e), np.asarray(p_e)
+    assert (p_e == EOS).all()
+    # t>=1 rows are bit-exactly the filler: zero everywhere, 1 at EOS
+    filler = np.zeros_like(s_e[:, 1:])
+    filler[:, :, EOS] = 1.0
+    np.testing.assert_array_equal(s_e[:, 1:], filler)
+    # step 0 rows are REAL logits (the biased EOS column dominates)
+    assert (s_e[:, 0, EOS] > 100.0).all()
+    # the fixed-step path, by contrast, fills every step with real logits
+    s_x, _ = greedy_decode_fast(model, biased, batch, BOS, backend="xla")
+    assert not np.array_equal(np.asarray(s_x)[:, 1:], filler)
+
+
+def test_greedy_xla_early_requires_eos(tiny):
+    task, model, batch, params = tiny
+    with pytest.raises(ValueError, match="requires eos_idx"):
+        greedy_decode_fast(model, params, batch, BOS, backend="xla_early")
+
+
+def test_greedy_xla_early_under_jit_and_quadrants():
+    """xla_early inside jax.jit (the evaluator/serving usage) across decoder
+    -row quadrant configs; answers must match the fixed-step backend."""
+    import dataclasses
+
+    from sam_textvqa_tpu.config import task_config_from_dict
+    from sam_textvqa_tpu.data.synthetic import device_batch, make_batch
+
+    for quads in ([2, 4], [2, 4, 7, 8, 9]):
+        cfg = task_config_from_dict(
+            {"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 1}}
+        )
+        mmt = dataclasses.replace(
+            cfg.mmt, hidden_size=96, intermediate_size=192, ptr_query_size=96,
+            max_obj_num=10, max_ocr_num=8, num_decoding_steps=5,
+            max_seq_length=8, attention_mask_quadrants=tuple(quads),
+        )
+        tb = dataclasses.replace(
+            cfg.text_bert, hidden_size=96, intermediate_size=192
+        )
+        task = dataclasses.replace(cfg, mmt=mmt, text_bert=tb)
+        model = SAM4C(params_cfg=SAM4CParams(mmt, tb, 40), dtype=jnp.float32)
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in device_batch(
+                make_batch(task, 3, num_answers_vocab=40)
+            ).items()
+        }
+        params = model.init(
+            {"params": jax.random.PRNGKey(0)}, batch, deterministic=True
+        )["params"]
+
+        @jax.jit
+        def early(p, b):
+            return greedy_decode_fast(
+                model, p, b, 1, backend="xla_early", eos_idx=EOS
+            )
+
+        s_x, p_x = greedy_decode_fast(model, params, batch, 1, backend="xla")
+        s_e, p_e = early(params, batch)
+        p_x, p_e = np.asarray(p_x), np.asarray(p_e)
+        exit_step = _first_eos_exit_step(p_x, mmt.num_decoding_steps)
+        np.testing.assert_array_equal(p_e[:, :exit_step], p_x[:, :exit_step])
+        assert (p_e[:, exit_step:] == EOS).all()

@@ -206,3 +206,35 @@ def test_sharded_beam_decode_matches_single_device():
         np.asarray(scores_mesh), np.asarray(scores_single),
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_sharded_early_exit_decode_matches_single_device():
+    """backend="xla_early" under DP x TP sharding: the while_loop's
+    batch-global all-rows-EOS predicate is a cross-device reduction each
+    iteration (XLA inserts the collective); predictions must reproduce the
+    single-device early-exit run bit-for-bit."""
+    from sam_textvqa_tpu.models.fast_decode import greedy_decode_fast
+
+    task, model, batch, params, _ = _setup(batch_size=8)
+
+    @jax.jit
+    def decode(p, b):
+        return greedy_decode_fast(model, p, b, 1, backend="xla_early",
+                                  eos_idx=2)
+
+    scores_single, preds_single = decode(params, batch)
+
+    mesh = make_mesh(8, model_parallel=2)
+    p_shard = shard_params(params, mesh, tensor_parallel=True)
+    params_m = jax.device_put(params, p_shard)
+    bs = batch_sharding(mesh)
+    batch_m = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    scores_mesh, preds_mesh = decode(params_m, batch_m)
+
+    np.testing.assert_array_equal(
+        np.asarray(preds_mesh), np.asarray(preds_single)
+    )
+    np.testing.assert_allclose(
+        np.asarray(scores_mesh), np.asarray(scores_single),
+        rtol=2e-4, atol=2e-4,
+    )

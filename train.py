@@ -57,7 +57,8 @@ def get_args():
         "default) or pallas (ops/fused_attention.py kernel)",
     )
     parser.add_argument(
-        "--decode_backend", choices=["auto", "xla", "xla_flat", "fused", "mega"],
+        "--decode_backend",
+        choices=["auto", "xla", "xla_early", "xla_flat", "fused", "mega"],
         default="auto",
         help="greedy-decode implementation: auto (XLA one-row steps — "
         "fastest measured), or the opt-in pallas kernels fused "

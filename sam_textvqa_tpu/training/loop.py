@@ -158,6 +158,15 @@ def train(
         )
         start_epoch = int(restored["meta"]["epoch_id"]) + 1
         best_val_score = float(restored["meta"]["val_score"])
+        # sync the batcher's epoch counter: shuffle order and target
+        # sampling are keyed on (seed, batcher.epoch), and a fresh process
+        # starts the counter at 0 — without this, a resumed run would
+        # replay epoch 0's data order/targets in epoch start_epoch, so a
+        # resumed run would NOT be bit-identical to an uninterrupted one
+        # (tests/test_training.py::test_resume_is_bit_deterministic)
+        for batcher in (train_batcher, val_batcher):
+            if batcher is not None and hasattr(batcher, "epoch"):
+                batcher.epoch = start_epoch
         logger.info(
             "resumed from %s at step %d epoch %d", resume_path,
             int(state.step), start_epoch,

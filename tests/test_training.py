@@ -186,3 +186,72 @@ def test_local_rows_dedups_model_axis_replicas():
     np.testing.assert_array_equal(
         _local_rows(arr), np.concatenate([rows0, rows1])
     )
+
+
+def test_resume_is_bit_deterministic(tmp_path):
+    """An interrupted-and-resumed run must be BIT-identical to an
+    uninterrupted one: per-step dropout RNG is folded on state.step, the
+    epoch shuffle/target sampling is keyed on (seed, batcher.epoch), and
+    resume must sync the fresh batcher's epoch counter to start_epoch
+    (training/loop.py) — without that sync the resumed epoch replays
+    epoch 0's data order and the trajectories diverge silently."""
+    from sam_textvqa_tpu.config import task_config_from_dict
+    from sam_textvqa_tpu.data.dataset import EpochBatcher
+    from sam_textvqa_tpu.data.synthetic import SyntheticDataset
+    from sam_textvqa_tpu.data.vocab import VocabDict
+    from sam_textvqa_tpu.training.loop import train
+
+    cfg = task_config_from_dict(
+        {"SA-M4C": {}, "TextBERT": {"num_hidden_layers": 1},
+         "warmup_iters": 2, "lr": 1e-3}
+    )
+    mmt = dataclasses.replace(
+        cfg.mmt, hidden_size=48, intermediate_size=96, ptr_query_size=48,
+        max_obj_num=8, max_ocr_num=6, num_decoding_steps=4, max_seq_length=8,
+    )
+    tb = dataclasses.replace(
+        cfg.text_bert, hidden_size=48, intermediate_size=96,
+        num_attention_heads=4,
+    )
+    task = dataclasses.replace(cfg, mmt=mmt, text_bert=tb)
+    words = ["<pad>", "<s>", "</s>", "<unk>"] + [f"w{i}" for i in range(40)]
+    vocab = VocabDict(words)
+    model = SAM4C(params_cfg=SAM4CParams(mmt, tb, len(vocab)))
+    ds = SyntheticDataset(task, 12, num_answers_vocab=len(vocab))
+    batch = {k: jnp.asarray(v) for k, v in ds.get_batch(range(2)).items()
+             if not k.startswith("_") and k != "question_id"}
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+
+    def fresh_params():
+        # train_step donates its state, so each run needs its own buffers
+        return jax.tree.map(lambda x: x.copy(), params)
+
+    def batchers():
+        return (
+            EpochBatcher(SyntheticDataset(task, 12, num_answers_vocab=len(vocab)), 8),
+            EpochBatcher(SyntheticDataset(task, 8, seed=1, num_answers_vocab=len(vocab)),
+                         8, shuffle=False),
+        )
+
+    # A: two epochs, uninterrupted
+    tr, val = batchers()
+    state_a = train(task, model, fresh_params(), tr, val, vocab,
+                    save_dir=str(tmp_path / "a"), num_epochs=2)
+
+    # B: one epoch, then a FRESH process-equivalent resume for epoch 2
+    tr, val = batchers()
+    train(task, model, fresh_params(), tr, val, vocab,
+          save_dir=str(tmp_path / "b"), num_epochs=1)
+    tr, val = batchers()  # fresh batchers: epoch counters back at 0
+    state_b = train(task, model, fresh_params(), tr, val, vocab,
+                    save_dir=str(tmp_path / "b"), num_epochs=2, resume=True)
+
+    assert int(state_a.step) == int(state_b.step)
+    flat_a = jax.tree_util.tree_leaves_with_path(state_a.params)
+    flat_b = jax.tree_util.tree_leaves_with_path(state_b.params)
+    assert len(flat_a) == len(flat_b)
+    for (path_a, leaf_a), (_, leaf_b) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(
+            np.asarray(leaf_a), np.asarray(leaf_b),
+            err_msg=f"resume diverged at {jax.tree_util.keystr(path_a)}",
+        )

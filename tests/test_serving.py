@@ -358,3 +358,58 @@ def test_build_sample_schema(setup):
     with engine:
         res = engine.submit(sample).result(timeout=60)
     assert isinstance(res["answer"], str)
+
+
+def test_tcp_endpoint_end_to_end(setup, tmp_path):
+    """serve.py's JSON-lines TCP server over a real socket: good requests
+    answer with the engine's result, malformed requests return an error
+    line with the request id, and the engine survives both."""
+    import json
+    import socket
+    import socketserver
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from serve import _LineHandler
+
+    task, model, vocab, ds, params = setup
+    engine = ServingEngine(model, params, vocab, buckets=(1,),
+                           max_wait_ms=1.0)
+    engine.warmup()
+
+    class Server(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    server = Server(("127.0.0.1", 0), _LineHandler)
+    server.engine = engine
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        sample = _samples_from_dataset(ds, 1)[0]
+        npz = tmp_path / "req.npz"
+        np.savez(npz, **{k: sample[k] for k in SAMPLE_KEYS},
+                 ocr_tokens=np.asarray(sample["ocr_tokens"], dtype="U32"))
+
+        with socket.create_connection(("127.0.0.1", port), timeout=60) as s:
+            f = s.makefile("rw")
+            f.write(json.dumps({"id": 7, "npz": str(npz)}) + "\n")
+            f.flush()
+            res = json.loads(f.readline())
+            assert res["id"] == 7 and isinstance(res["answer"], str)
+            # malformed: missing npz path
+            f.write(json.dumps({"id": 8, "npz": str(tmp_path / "nope.npz")})
+                    + "\n")
+            f.flush()
+            err = json.loads(f.readline())
+            assert err["id"] == 8 and "error" in err
+            # the engine still serves after the bad request
+            f.write(json.dumps({"id": 9, "npz": str(npz)}) + "\n")
+            f.flush()
+            res2 = json.loads(f.readline())
+            assert res2["id"] == 9 and res2["answer"] == res["answer"]
+    finally:
+        server.shutdown()
+        server.server_close()
+        engine.close()

@@ -233,6 +233,7 @@ class Evaluator:
         batches,
         beam_size: int,
         gt_answers_by_qid: Optional[Dict[int, List[str]]] = None,
+        early_exit: bool = False,
     ) -> Dict:
         """Beam-search decode with the reference's full result schema.
 
@@ -250,10 +251,14 @@ class Evaluator:
             beam_search_decode_fast if self.fast_decode else beam_search_decode
         )
 
+        # early_exit: fast path only — stop the while_loop once every beam
+        # is done; BIT-identical outputs (fast_decode.beam_search_decode_fast)
+        kw = {"early_exit": True} if early_exit and self.fast_decode else {}
+
         @jax.jit
         def beam_fn(p, device_batch):
             return beam_impl(
-                self.model, p, device_batch, beam_size, bos, eos
+                self.model, p, device_batch, beam_size, bos, eos, **kw
             )
 
         all_preds: List[Dict] = []

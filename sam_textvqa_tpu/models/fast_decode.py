@@ -1160,13 +1160,24 @@ def _greedy_mega(params, batch, bos_idx, cfg, cache,
 
 
 def beam_search_decode_fast(
-    model, params, batch, beam_size: int, bos_idx: int, eos_idx: int
+    model, params, batch, beam_size: int, bos_idx: int, eos_idx: int,
+    early_exit: bool = False,
 ):
     """Beam search on the fast path: encoder cache computed once per sample
     and tiled across beams, then TRUE incremental decoding — one decoder row
     per step with per-step beam-reorder of the decoder K/V buffers (the slow
     path re-runs the full MMT per beam per step; round 1's fast path still
-    recomputed all 12 decoder rows per step)."""
+    recomputed all 12 decoder rows per step).
+
+    ``early_exit``: run the steps in a ``lax.while_loop`` that stops once
+    EVERY beam of every sample is done, then EOS-fill the unwritten
+    positions. This is BIT-identical to the fixed-step scan (stronger than
+    the greedy xla_early contract): once a beam is done its step scores
+    collapse to {0 at EOS, -inf elsewhere}, so each further step appends
+    EOS with unchanged totals, and with all beams done top_k sees one
+    finite candidate per beam at already-descending scores — lax.top_k's
+    lowest-index tie-break makes the reorder the identity. Proven in
+    tests/test_fast_decode.py."""
     from .sa_m4c import SAM4C
 
     cfg = model.params_cfg.mmt
@@ -1258,7 +1269,26 @@ def beam_search_decode_fast(
         done = done | (token_next == eos_idx)
         return (seqs, values, done, dec_kv), None
 
-    (seqs, beam_scores, done, _), _ = jax.lax.scan(
-        step, (seqs, beam_scores, done, dec_kv0), jnp.arange(t_max)
+    if not early_exit:
+        (seqs, beam_scores, done, _), _ = jax.lax.scan(
+            step, (seqs, beam_scores, done, dec_kv0), jnp.arange(t_max)
+        )
+        return seqs, beam_scores
+
+    def cond_fn(carry):
+        t, (_seqs, _scores, done, _kv) = carry
+        return jnp.logical_and(t < t_max, jnp.logical_not(jnp.all(done)))
+
+    def body_fn(carry):
+        t, inner = carry
+        inner, _ = step(inner, t)
+        return (t + 1, inner)
+
+    t_final, (seqs, beam_scores, done, _) = jax.lax.while_loop(
+        cond_fn, body_fn, (jnp.zeros((), jnp.int32),
+                           (seqs, beam_scores, done, dec_kv0))
     )
+    # the skipped steps would each have appended EOS (all beams done):
+    # step t writes position t+1, so positions > t_final are EOS
+    seqs = jnp.where(jnp.arange(t_max)[None, None, :] > t_final, eos_idx, seqs)
     return seqs, beam_scores

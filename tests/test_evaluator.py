@@ -122,6 +122,23 @@ def test_run_split_beam_per_beam_schema(setup):
                    for b in p["beams"])
 
 
+def test_run_split_beam_early_exit_identical(setup):
+    """run_split_beam(early_exit=True) routes through the while_loop beam
+    decoder, which is bit-identical to the scan — the full result schema
+    (per-beam rows, best-beam headline, metrics) must match exactly."""
+    task, model, vocab, ds, params = setup
+    want = Evaluator(model, vocab).run_split_beam(
+        params, EpochBatcher(ds, 4, shuffle=False).epoch_batches(), 3
+    )
+    got = Evaluator(model, vocab).run_split_beam(
+        params, EpochBatcher(ds, 4, shuffle=False).epoch_batches(), 3,
+        early_exit=True,
+    )
+    assert got["accuracy"] == want["accuracy"]
+    assert got["anls"] == want["anls"]
+    assert got["predictions"] == want["predictions"]
+
+
 def test_run_split_dataset_smaller_than_batch(setup):
     """A split smaller than one batch must still serve a full fixed-shape
     batch (np.resize tiling in EpochBatcher) and score only the real rows."""

@@ -449,3 +449,28 @@ def test_greedy_xla_early_under_jit_and_quadrants():
         exit_step = _first_eos_exit_step(p_x, mmt.num_decoding_steps)
         np.testing.assert_array_equal(p_e[:, :exit_step], p_x[:, :exit_step])
         assert (p_e[:, exit_step:] == EOS).all()
+
+
+def test_beam_early_exit_bit_identical(tiny):
+    """beam_search_decode_fast(early_exit=True) must be BIT-identical to the
+    fixed-step scan: once a beam is done its step scores collapse to {0 at
+    EOS, -inf elsewhere}, so skipped steps would only append EOS at
+    unchanged totals with an identity top_k reorder. Checked both where the
+    loop runs to completion (random params) and where it exits after ~2 of
+    4 steps (EOS-biased params)."""
+    task, model, batch, params = tiny
+    biased = dict(params)
+    biased["classifier_bias"] = params["classifier_bias"].at[EOS].add(1e4)
+    for p in (params, biased):
+        seqs_ref, scores_ref = beam_search_decode_fast(
+            model, p, batch, 3, BOS, EOS
+        )
+        seqs_e, scores_e = beam_search_decode_fast(
+            model, p, batch, 3, BOS, EOS, early_exit=True
+        )
+        np.testing.assert_array_equal(np.asarray(seqs_e), np.asarray(seqs_ref))
+        np.testing.assert_array_equal(
+            np.asarray(scores_e), np.asarray(scores_ref)
+        )
+    # the biased case really does finish early: every beam's tail is EOS
+    assert (np.asarray(seqs_e)[:, :, 2:] == EOS).all()

@@ -70,6 +70,10 @@ def get_args():
                    help="serve a JSON-lines TCP endpoint on this port "
                    "(0 binds an ephemeral port, announced on stdout)")
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="tensor-parallel ways over a DP x TP device mesh "
+                   "(SCALING.md: TP is the batch-1 latency lever); 1 = "
+                   "single device / no mesh")
     return p.parse_args()
 
 
@@ -114,6 +118,32 @@ def build_engine(args):
             )["params"]
         )()
     buckets = tuple(int(b) for b in args.buckets.split(","))
+    device_put = None
+    if args.model_parallel > 1:
+        from sam_textvqa_tpu.parallel.mesh import (
+            batch_sharding,
+            make_mesh,
+            shard_params,
+        )
+
+        n_dev = len(jax.devices())
+        dp = max(1, n_dev // args.model_parallel)
+        bad = [b for b in buckets if b % dp != 0]
+        if bad:
+            raise SystemExit(
+                f"buckets {bad} not divisible by dp={dp} "
+                f"({n_dev} devices / tp={args.model_parallel}); pick "
+                f"--buckets that dp divides, or raise --model_parallel"
+            )
+        mesh = make_mesh(dp * args.model_parallel,
+                         model_parallel=args.model_parallel)
+        params = jax.device_put(
+            params, shard_params(params, mesh, tensor_parallel=True)
+        )
+        bs = batch_sharding(mesh)
+        device_put = lambda host_batch: jax.device_put(host_batch, bs)
+        logger.info("serving over mesh %s (dp=%d x tp=%d)",
+                    mesh.shape, dp, args.model_parallel)
     engine = ServingEngine(
         model,
         params,
@@ -121,6 +151,7 @@ def build_engine(args):
         buckets=buckets,
         max_wait_ms=args.max_wait_ms,
         decode_backend=args.decode_backend,
+        device_put=device_put,
     )
     t0 = time.time()
     engine.warmup()

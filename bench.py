@@ -42,6 +42,11 @@ ATTN = os.environ.get("BENCH_ATTN", "xla")
 # WORST case (all 12 steps + dynamic-trip-count overhead) — the win shows
 # on trained checkpoints / tools/bench_early_exit.py
 DECODE = os.environ.get("BENCH_DECODE", "auto")
+# BENCH_OCR overrides max_ocr_num for MODE=eval — measures the narrower
+# executable that Evaluator.run_split(ocr_bucket=N) routes eligible
+# batches through (sequence-length bucketing; answers identical, see
+# SCALING.md). The full-width default is 50.
+OCR_SLOTS = int(os.environ.get("BENCH_OCR", "0"))
 # BENCH_DROPOUT_REUSE=1 enables per-site-type dropout mask reuse across
 # the 6 MMT layers (config.dropout_mask_reuse): +5.6% throughput, but the
 # loss-curve A/B showed the correlated masks measurably weaken
@@ -125,6 +130,14 @@ def main():
             cfg,
             mmt=dataclasses.replace(cfg.mmt, **mmt_kw),
             text_bert=dataclasses.replace(cfg.text_bert, **tb_kw),
+        )
+    if OCR_SLOTS:
+        import dataclasses
+
+        if MODE not in ("eval", "beam"):
+            raise SystemExit("BENCH_OCR applies to MODE=eval/beam only")
+        cfg = dataclasses.replace(
+            cfg, mmt=dataclasses.replace(cfg.mmt, max_ocr_num=OCR_SLOTS)
         )
     num_answers = 5000
     model = SAM4C(

@@ -109,8 +109,12 @@ class Evaluator:
         # mutating either attribute after first use picks the right path
         self._greedy: Dict = {}
 
-    def _greedy_fn(self):
-        key = (self.fast_decode, self.decode_backend)
+    def _greedy_fn(self, model=None, cache_tag=None):
+        """Jitted greedy decode for ``model`` (default: the full-width
+        model). ``cache_tag`` distinguishes shape variants (the OCR-bucket
+        models) in the jit cache."""
+        model = self.model if model is None else model
+        key = (self.fast_decode, self.decode_backend, cache_tag)
         if key not in self._greedy:
             from ..models.fast_decode import greedy_decode_fast
             from ..models.sa_m4c import greedy_decode
@@ -130,10 +134,29 @@ class Evaluator:
 
             @jax.jit
             def fn(params, device_batch):
-                return decode(self.model, params, device_batch, bos)
+                return decode(model, params, device_batch, bos)
 
             self._greedy[key] = fn
         return self._greedy[key]
+
+    def _ocr_bucket_model(self, n_small: int):
+        """The SAME weights compiled at a narrower OCR width: no parameter
+        depends on the slot count (Dense weights are per-feature, decoder
+        position embeddings cover only the 12 steps), so a batch whose rows
+        all carry <= n_small OCR tokens can run a (170 - 50 + n_small)-token
+        executable. Static-shape bucketing — the TPU answer to the dynamic
+        shapes the reference never needed to care about on GPU."""
+        import dataclasses
+
+        pc = self.model.params_cfg
+        small = pc._replace(
+            mmt=dataclasses.replace(pc.mmt, max_ocr_num=n_small)
+        )
+        return type(self.model)(
+            params_cfg=small,
+            dtype=self.model.dtype,
+            attention_backend=self.model.attention_backend,
+        )
 
     def _transfer_batch(self, batch):
         """Host batch -> device arrays, shipping only DECODE_KEYS and
@@ -150,12 +173,29 @@ class Evaluator:
         # serving engine", rule 1)
         return jax.device_put(picked)
 
+    @staticmethod
+    def _shrink_ocr(batch, n_obj: int, n_small: int):
+        """Slice every OCR-width array (and the OCR tail of the visual
+        spatial matrix — obj rows come first) down to ``n_small`` slots.
+        Exact for batches whose rows all have <= n_small real OCR tokens:
+        the dropped slots carry the -10000 additive bias, whose softmax
+        contribution is exactly 0.0 in f32, so removing them changes no
+        real row's output (tests/test_evaluator.py)."""
+        out = dict(batch)
+        for k in ("pad_ocr_features", "pad_ocr_mask", "pad_ocr_bboxes",
+                  "ocr_fasttext", "ocr_phoc"):
+            out[k] = batch[k][:, :n_small]
+        vis = n_obj + n_small
+        out["spatial_classes"] = batch["spatial_classes"][:, :vis, :vis]
+        return out
+
     def run_split(
         self,
         params,
         batches,
         device_put=None,
         gt_answers_by_qid: Optional[Dict[int, List[str]]] = None,
+        ocr_bucket: Optional[int] = None,
     ) -> Dict:
         """Greedy-decode every batch; returns accuracy + EvalAI predictions.
 
@@ -164,8 +204,22 @@ class Evaluator:
         ``gt_answers_by_qid`` supplies ground truth externally when the
         split carries none — the analogue of the reference's eval_df pickle
         join (reference evaluator.py:67-93, 304-356).
+
+        ``ocr_bucket``: also compile a narrower executable at this OCR
+        width and route every batch whose rows ALL have <= ocr_bucket real
+        OCR tokens through it (identical answers — see ``_shrink_ocr``;
+        sequence-length bucketing trades one extra compile for a shorter
+        encoder on eligible batches).
         """
         greedy = self._greedy_fn()
+        greedy_small, n_obj = None, self.model.params_cfg.mmt.max_obj_num
+        if ocr_bucket is not None:
+            assert 0 < ocr_bucket < self.model.params_cfg.mmt.max_ocr_num, (
+                ocr_bucket
+            )
+            greedy_small = self._greedy_fn(
+                self._ocr_bucket_model(ocr_bucket), cache_tag=ocr_bucket
+            )
         all_preds: List[Dict] = []
         scored_preds: List[Dict] = []
 
@@ -198,10 +252,16 @@ class Evaluator:
         def dispatch(batch):
             host_only = {k: v for k, v in batch.items() if k.startswith("_")}
             qids = _batch_qids(batch, host_only)
+            fn = greedy
+            if greedy_small is not None and not np.asarray(
+                batch["pad_ocr_mask"][:, ocr_bucket:]
+            ).any():
+                batch = self._shrink_ocr(batch, n_obj, ocr_bucket)
+                fn = greedy_small
             device_batch = self._transfer_batch(batch)
             if device_put is not None:
                 device_batch = device_put(device_batch)
-            _, pred_ids = greedy(params, device_batch)
+            _, pred_ids = fn(params, device_batch)
             return pred_ids, host_only, qids
 
         _pipelined(batches, dispatch, consume)

@@ -139,6 +139,32 @@ def test_run_split_beam_early_exit_identical(setup):
     assert got["predictions"] == want["predictions"]
 
 
+def test_run_split_ocr_bucket_identical(setup):
+    """run_split(ocr_bucket=3) routes batches whose rows all carry <= 3
+    real OCR tokens through a narrower compiled executable (same params)
+    and must produce IDENTICAL predictions: the dropped slots' -10000 bias
+    contributes exactly 0.0 to every f32 softmax. Only the MASK is
+    truncated here — the dropped slots keep their random feature values,
+    proving masked-slot contents are irrelevant. The split mixes eligible
+    batches (rows 0-7) with an ineligible one (rows 8-11, full fallback)."""
+    task, model, vocab, ds, params = setup
+    ds2 = SyntheticDataset(task, 12, num_answers_vocab=len(vocab))
+    ds2.pool["pad_ocr_mask"][:8, 3:] = 0.0
+
+    want = Evaluator(model, vocab).run_split(
+        params, EpochBatcher(ds2, 4, shuffle=False).epoch_batches()
+    )
+    ev = Evaluator(model, vocab)
+    got = ev.run_split(
+        params, EpochBatcher(ds2, 4, shuffle=False).epoch_batches(),
+        ocr_bucket=3,
+    )
+    assert got["predictions"] == want["predictions"]
+    assert got["accuracy"] == want["accuracy"]
+    # the bucket executable really was compiled (and the full one kept)
+    assert (True, "auto", 3) in ev._greedy and (True, "auto", None) in ev._greedy
+
+
 def test_run_split_dataset_smaller_than_batch(setup):
     """A split smaller than one batch must still serve a full fixed-shape
     batch (np.resize tiling in EpochBatcher) and score only the real rows."""

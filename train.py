@@ -57,6 +57,12 @@ def get_args():
         "default) or pallas (ops/fused_attention.py kernel)",
     )
     parser.add_argument(
+        "--ocr_bucket", type=int, default=None,
+        help="pretrained-eval only: also compile a narrower executable at "
+        "this OCR width and route batches whose rows all fit through it "
+        "(identical answers; sequence-length bucketing, SCALING.md)",
+    )
+    parser.add_argument(
         "--decode_backend",
         choices=["auto", "xla", "xla_early", "xla_flat", "fused", "mega"],
         default="auto",
@@ -391,7 +397,8 @@ def main():
                 name = f"evalai_{split}_beam_{args.beam_size}.json"
             else:
                 result = evaluator.run_split(
-                    params, batcher.epoch_batches(), gt_answers_by_qid=gt
+                    params, batcher.epoch_batches(), gt_answers_by_qid=gt,
+                    ocr_bucket=args.ocr_bucket,
                 )
                 name = f"evalai_{split}.json"
             evaluator.dump_evalai(result, os.path.join(out_dir, name))

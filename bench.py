@@ -104,10 +104,11 @@ def main():
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "configs/train-tvqa-eval-tvqa-c3.yml")
     )
-    if DROPOUT_REUSE and FUSED_DRAW:
+    if MODE == "train" and DROPOUT_REUSE and FUSED_DRAW:
         # mmt.py only builds the fused draw when mask reuse is OFF (reuse
         # already collapses the draws via CSE); measuring with both set
-        # would silently label a reuse-only run as fused
+        # would silently label a reuse-only run as fused. Both flags are
+        # inert outside MODE=train, so eval/beam runs ignore them.
         raise SystemExit(
             "BENCH_DROPOUT_REUSE=1 and BENCH_FUSED_DRAW=1 are mutually "
             "exclusive (the fused draw is inert under mask reuse)"

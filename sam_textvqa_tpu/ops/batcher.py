@@ -47,6 +47,10 @@ def _num_threads() -> int:
 
 
 def _threads_for(total_bytes: int) -> int:
+    # an explicit SAM_BATCHER_THREADS always wins — the small-pass
+    # shortcut only applies to the auto-sized default
+    if os.environ.get(_THREADS_ENV, "").strip():
+        return _num_threads()
     return 1 if total_bytes < _SMALL_PASS_BYTES else _num_threads()
 
 

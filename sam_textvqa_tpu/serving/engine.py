@@ -256,7 +256,7 @@ class ServingEngine:
         self._results: "Queue" = Queue(maxsize=pipeline_depth)
         self._stop = threading.Event()
         self._schema = {
-            k: v.shape
+            k: (v.shape, v.dtype)
             for k, v in self._zero_sample().items()
             if k in SAMPLE_KEYS
         }
@@ -356,21 +356,30 @@ class ServingEngine:
     def _validate(self, sample: Dict) -> Dict:
         """Shape-check a request against the model schema on the CALLER's
         thread, so one malformed request raises at ``submit`` instead of
-        failing every innocent request coalesced into its batch."""
+        failing every innocent request coalesced into its batch. Arrays are
+        normalized to the schema DTYPE as well: a float64 question built
+        from JSON numbers would otherwise reach the device layer as a novel
+        jit signature — a fresh multi-second compile at best, a poisoned
+        batch at worst. Non-numeric payloads fail the astype here."""
         out = {}
-        for k, want in self._schema.items():
+        for k, (want_shape, want_dtype) in self._schema.items():
             if k not in sample:
                 raise KeyError(f"request missing {k!r}")
             arr = np.asarray(sample[k])
-            if arr.shape != want:
+            if arr.shape != want_shape:
                 raise ValueError(
-                    f"request {k!r} has shape {arr.shape}, expected {want}"
+                    f"request {k!r} has shape {arr.shape}, "
+                    f"expected {want_shape}"
                 )
-            out[k] = arr
+            out[k] = arr.astype(want_dtype, copy=False)
+        if "ocr_tokens" not in sample:
+            # silently defaulting would decode OCR-pointer predictions to
+            # the literal '<pad>' — confidently wrong answers, not errors
+            raise KeyError("request missing 'ocr_tokens'")
         # normalize OCR tokens to exactly max_ocr_num entries: a short list
         # would IndexError the answer decode for any OCR-pointer prediction
-        tokens = [str(t) for t in sample.get("ocr_tokens", [])]
-        n_ocr = self._schema["pad_ocr_mask"][0]
+        tokens = [str(t) for t in sample["ocr_tokens"]]
+        n_ocr = self._schema["pad_ocr_mask"][0][0]
         out["ocr_tokens"] = (tokens + ["<pad>"] * n_ocr)[:n_ocr]
         return out
 
@@ -453,14 +462,26 @@ class ServingEngine:
 
     def _batch_loop(self):
         max_bucket = self.buckets[-1]
-        while not self._stop.is_set():
-            try:
-                first = self._queue.get(timeout=0.05)
-            except Empty:
-                continue
+        carry = None  # a solo retry popped mid-coalesce, batched next
+        while True:
+            if carry is not None:
+                # already popped from the queue: batch it even if stop was
+                # requested meanwhile, or its future would be stranded
+                first, carry = carry, None
+            elif self._stop.is_set():
+                break
+            else:
+                try:
+                    first = self._queue.get(timeout=0.05)
+                except Empty:
+                    continue
             group = [first]
             deadline = time.monotonic() + self.max_wait_s
-            # a ``solo`` request is an isolated retry — never coalesce it
+            # a ``solo`` request is an isolated retry — it NEVER shares a
+            # batch, in either direction: a solo first coalesces nothing,
+            # and a solo popped while coalescing is carried to its own
+            # next batch (riding along would let a fresh poisonous request
+            # fail it permanently — _resolve_group blames solos on the spot)
             while not first.solo and len(group) < max_bucket:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0 and self._queue.empty():
@@ -469,9 +490,10 @@ class ServingEngine:
                     nxt = self._queue.get(timeout=max(remaining, 0))
                 except Empty:
                     break
-                group.append(nxt)
                 if nxt.solo:
-                    break  # decode it with its current group, no more soaking
+                    carry = nxt
+                    break
+                group.append(nxt)
             with self.stats.lock:
                 self._inflight += len(group)
             try:

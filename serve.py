@@ -127,6 +127,12 @@ def build_engine(args):
         )
 
         n_dev = len(jax.devices())
+        if args.model_parallel > n_dev or n_dev % args.model_parallel != 0:
+            raise SystemExit(
+                f"--model_parallel {args.model_parallel} must divide the "
+                f"{n_dev} available devices (otherwise the mesh reshape "
+                f"fails or devices silently idle)"
+            )
         dp = max(1, n_dev // args.model_parallel)
         bad = [b for b in buckets if b % dp != 0]
         if bad:

@@ -413,3 +413,75 @@ def test_tcp_endpoint_end_to_end(setup, tmp_path):
         server.shutdown()
         server.server_close()
         engine.close()
+
+
+def test_fresh_poison_cannot_fail_waiting_solo_retry(setup):
+    """A solo retry popped while a FRESH poisonous request is coalescing
+    must not ride in that batch (it would be blamed on the spot for the
+    stranger's poison): the batcher carries it to its own next batch."""
+    from sam_textvqa_tpu.serving.engine import _Pending
+
+    task, model, vocab, ds, params = setup
+    engine = ServingEngine(
+        model, params, vocab, buckets=(1, 4), max_wait_ms=200.0
+    )
+    engine.warmup()
+    good = engine._validate(_samples_from_dataset(ds, 1)[0])
+    poison = dict(good)
+    poison["ocr_tokens"] = ["POISON"] + list(good["ocr_tokens"])[1:]
+    orig_stack = engine._stack
+
+    def stack(group_samples, bucket):
+        if any(g["ocr_tokens"][0] == "POISON" for g in group_samples):
+            raise RuntimeError("poison")
+        return orig_stack(group_samples, bucket)
+
+    engine._stack = stack
+    # deterministic ordering: the non-solo poison is popped first, the solo
+    # good arrives during its coalescing window
+    p_poison = _Pending(poison)
+    p_good = _Pending(good)
+    p_good.solo = True
+    engine._queue.put(p_poison)
+    engine._queue.put(p_good)
+    engine.start()
+    try:
+        assert "answer" in p_good.result(timeout=60)
+        with pytest.raises(RuntimeError, match="poison"):
+            p_poison.result(timeout=60)
+    finally:
+        engine.close(flush=False)
+
+
+def test_submit_normalizes_dtypes(setup):
+    """Loosely-typed requests (float64 features / int64 indices, e.g. built
+    from JSON) are normalized to the schema dtypes at submit — same answer
+    as the canonical request, one jit signature, no poisoned batch."""
+    task, model, vocab, ds, params = setup
+    s = _samples_from_dataset(ds, 1)[0]
+    loose = {}
+    for k, v in s.items():
+        if k == "ocr_tokens":
+            loose[k] = v
+        elif v.dtype.kind == "f":
+            loose[k] = np.asarray(v, np.float64)
+        else:
+            loose[k] = np.asarray(v, np.int64)
+    engine = ServingEngine(model, params, vocab, buckets=(1,))
+    engine.warmup()
+    with engine:
+        want = engine.submit(s).result(timeout=60)["answer"]
+        got = engine.submit(loose).result(timeout=60)["answer"]
+    assert got == want
+
+
+def test_submit_requires_ocr_tokens(setup):
+    """Omitting ocr_tokens raises at submit instead of silently decoding
+    OCR-pointer predictions to the literal '<pad>'."""
+    task, model, vocab, ds, params = setup
+    s = {k: v for k, v in _samples_from_dataset(ds, 1)[0].items()
+         if k != "ocr_tokens"}
+    engine = ServingEngine(model, params, vocab, buckets=(1,))
+    with engine:
+        with pytest.raises(KeyError, match="ocr_tokens"):
+            engine.submit(s)

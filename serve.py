@@ -243,6 +243,13 @@ class _LineHandler(socketserver.StreamRequestHandler):
                 continue
             try:
                 req = json.loads(raw)
+                if req.get("stats"):
+                    # operational introspection: {"stats": true} returns
+                    # the rolling latency/throughput/occupancy summary
+                    out = {"id": req.get("id"), **engine.stats.summary()}
+                    self.wfile.write((json.dumps(out) + "\n").encode())
+                    self.wfile.flush()
+                    continue
                 sample = self._load_sample(req)
                 res = engine.submit(sample).result(timeout=600)
                 out = {"id": req.get("id"), **res}
@@ -271,6 +278,8 @@ class _LineHandler(socketserver.StreamRequestHandler):
 
 
 def run_server(engine, host: str, port: int):
+    import signal
+
     class Server(socketserver.ThreadingTCPServer):
         allow_reuse_address = True
         daemon_threads = True
@@ -280,10 +289,20 @@ def run_server(engine, host: str, port: int):
         bound = server.server_address
         logger.info("serving on %s:%d", bound[0], bound[1])
         print(json.dumps({"listening": [bound[0], bound[1]]}), flush=True)
+
+        # graceful drain on SIGTERM/SIGINT: stop accepting, let in-flight
+        # requests finish (engine.close(flush=True) runs in main())
+        def _on_signal(signum, frame):
+            logger.warning("caught signal %d; draining and exiting", signum)
+            threading.Thread(target=server.shutdown, daemon=True).start()
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(sig, _on_signal)
         try:
             server.serve_forever()
         except KeyboardInterrupt:
             pass
+        logger.info("server stopped; flushing engine")
 
 
 def main():

@@ -409,6 +409,12 @@ def test_tcp_endpoint_end_to_end(setup, tmp_path):
             f.flush()
             res2 = json.loads(f.readline())
             assert res2["id"] == 9 and res2["answer"] == res["answer"]
+            # operational stats over the same connection
+            f.write(json.dumps({"id": 10, "stats": True}) + "\n")
+            f.flush()
+            st = json.loads(f.readline())
+            assert st["id"] == 10 and st["requests"] >= 2
+            assert "latency_ms_p50" in st
     finally:
         server.shutdown()
         server.server_close()

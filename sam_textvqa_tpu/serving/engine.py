@@ -42,6 +42,7 @@ from queue import Empty, Full, Queue
 from typing import Dict, List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.prefetch import cast_features_for_transfer
@@ -229,8 +230,11 @@ class ServingEngine:
         device_put=None,
         pipeline_depth: int = 2,
         max_queue: int = 4096,
+        beam_size: int = 1,
     ):
         assert buckets and all(b > 0 for b in buckets), buckets
+        assert beam_size >= 1, beam_size
+        self.beam_size = beam_size
         self.model = model
         # Host (numpy) param leaves would be re-uploaded by jit on EVERY
         # batch — per-leaf transfers, the exact remote-TPU RPC pathology
@@ -272,11 +276,34 @@ class ServingEngine:
     # ---- decode plumbing ------------------------------------------------
 
     def _make_greedy(self):
-        from ..models.fast_decode import greedy_decode_fast
+        from ..models.fast_decode import (
+            beam_search_decode_fast,
+            greedy_decode_fast,
+        )
 
         bos = self.special.bos
         eos = self.special.eos
         backend = self.decode_backend
+
+        if self.beam_size > 1:
+            k = self.beam_size
+
+            @jax.jit
+            def fn(params, device_batch):
+                # best beam by total score reduced to plain token rows ON
+                # DEVICE, so the consumer path is decode-mode agnostic;
+                # early_exit is bit-identical for beams (fast_decode)
+                seqs, scores = beam_search_decode_fast(
+                    self.model, params, device_batch, k, bos, eos,
+                    early_exit=True,
+                )
+                best = jnp.argmax(scores, axis=1)
+                pred = jnp.take_along_axis(
+                    seqs, best[:, None, None], axis=1
+                )[:, 0, 1:]  # drop BOS, like the beam evaluator
+                return scores, pred
+
+            return fn
 
         @jax.jit
         def fn(params, device_batch):

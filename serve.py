@@ -70,6 +70,9 @@ def get_args():
                    help="serve a JSON-lines TCP endpoint on this port "
                    "(0 binds an ephemeral port, announced on stdout)")
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--beam_size", type=int, default=1,
+                   help="beam-search decoding with the best beam's answer "
+                   "(early-exit while_loop; 1 = greedy)")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="tensor-parallel ways over a DP x TP device mesh "
                    "(SCALING.md: TP is the batch-1 latency lever); 1 = "
@@ -158,6 +161,7 @@ def build_engine(args):
         max_wait_ms=args.max_wait_ms,
         decode_backend=args.decode_backend,
         device_put=device_put,
+        beam_size=args.beam_size,
     )
     t0 = time.time()
     engine.warmup()

@@ -491,3 +491,25 @@ def test_submit_requires_ocr_tokens(setup):
     with engine:
         with pytest.raises(KeyError, match="ocr_tokens"):
             engine.submit(s)
+
+
+def test_beam_serving_matches_offline_beam_eval(setup):
+    """ServingEngine(beam_size=3) must answer with the same best-beam
+    answer the offline beam evaluator reports for every question."""
+    task, model, vocab, ds, params = setup
+    offline = Evaluator(model, vocab).run_split_beam(
+        params, EpochBatcher(ds, 4, shuffle=False).epoch_batches(), 3
+    )
+    by_qid = {p["question_id"]: p["pred_answer"]
+              for p in offline["predictions"]}
+
+    engine = ServingEngine(
+        model, params, vocab, buckets=(1, 4), max_wait_ms=20.0, beam_size=3
+    )
+    engine.warmup()
+    with engine:
+        futs = engine.submit_many(_samples_from_dataset(ds, 12))
+        answers = [f.result(timeout=120) for f in futs]
+    qids = np.asarray(ds.pool["question_id"][:12])
+    for i, ans in enumerate(answers):
+        assert ans["answer"] == by_qid[int(qids[i])], i

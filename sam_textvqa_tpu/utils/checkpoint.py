@@ -207,6 +207,28 @@ def reference_name_map(mmt_layer_types, text_bert_layers: int = 3):
     return m
 
 
+def flax_params_to_reference_state_dict(
+    params, mmt_layer_types, text_bert_layers: int = 3
+):
+    """The REVERSE conversion: our flax param tree -> reference state_dict
+    names, as float32 numpy arrays (torch-free; callers tensor-ize). A pure
+    rename via :func:`reference_name_map` — Dense already stores the torch
+    (out, in) layout. Returns ``(state_dict, unmapped_paths)``; with the
+    weights loaded into the reference's own SAM4C, forward outputs match
+    ours (tests/test_reference_model_oracle.py executes exactly this)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    name_map = reference_name_map(list(mmt_layer_types), text_bert_layers)
+    sd, unmapped = {}, []
+    for path, leaf in flat:
+        keys = tuple(p.key for p in path if hasattr(p, "key"))
+        dst = name_map.get(keys)
+        if dst is None:
+            unmapped.append(keys)
+            continue
+        sd[dst] = np.asarray(leaf, dtype=np.float32)
+    return sd, unmapped
+
+
 def convert_torch_state_dict(
     state_dict: Dict[str, Any], params_template, strict: bool = False
 ):

@@ -352,24 +352,16 @@ def shim_config(dc_cfg, **overrides) -> BertConfig:
 
 
 def state_dict_from_flax_params(params, mmt_layer_types, text_bert_layers):
-    """Our flax param tree -> reference torch state_dict (pure rename via
-    utils/checkpoint.py:reference_name_map; Dense already stores (out, in))."""
-    import jax
+    """Our flax param tree -> reference torch state_dict (delegates to the
+    package's reverse converter, tensor-izing its numpy arrays)."""
+    from sam_textvqa_tpu.utils.checkpoint import (
+        flax_params_to_reference_state_dict,
+    )
 
-    from sam_textvqa_tpu.utils.checkpoint import reference_name_map
-
-    name_map = reference_name_map(mmt_layer_types, text_bert_layers)
-    flat, _ = jax.tree_util.tree_flatten_with_path(params)
-    sd = {}
-    unmapped = []
-    for path, leaf in flat:
-        keys = tuple(p.key for p in path if hasattr(p, "key"))
-        dst = name_map.get(keys)
-        if dst is None:
-            unmapped.append(keys)
-            continue
-        sd[dst] = torch.tensor(np.asarray(leaf, dtype=np.float32))
-    return sd, unmapped
+    sd_np, unmapped = flax_params_to_reference_state_dict(
+        params, mmt_layer_types, text_bert_layers
+    )
+    return {k: torch.tensor(v) for k, v in sd_np.items()}, unmapped
 
 
 def torch_batch(batch_np, context_keys):

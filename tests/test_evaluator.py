@@ -220,3 +220,20 @@ def test_run_split_string_qids(setup, tmp_path):
     out = ev.dump_evalai(result, str(tmp_path / "evalai_stvqa.json"))
     payload = json.loads(open(out).read())
     assert sorted(p["question_id"] for p in payload) == sorted(qid_strs)
+
+
+def test_run_split_ocr_bucket_with_early_exit_backend(setup):
+    """Feature interaction: OCR bucketing routes through narrow executables
+    while backend="xla_early" changes the decode loop — combined they must
+    still reproduce the default path's predictions."""
+    task, model, vocab, ds, params = setup
+    ds2 = SyntheticDataset(task, 12, num_answers_vocab=len(vocab))
+    ds2.pool["pad_ocr_mask"][:8, 3:] = 0.0
+    want = Evaluator(model, vocab).run_split(
+        params, EpochBatcher(ds2, 4, shuffle=False).epoch_batches()
+    )
+    got = Evaluator(model, vocab, decode_backend="xla_early").run_split(
+        params, EpochBatcher(ds2, 4, shuffle=False).epoch_batches(),
+        ocr_bucket=3,
+    )
+    assert got["predictions"] == want["predictions"]

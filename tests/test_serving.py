@@ -513,3 +513,22 @@ def test_beam_serving_matches_offline_beam_eval(setup):
     qids = np.asarray(ds.pool["question_id"][:12])
     for i, ans in enumerate(answers):
         assert ans["answer"] == by_qid[int(qids[i])], i
+
+
+def test_engine_xla_early_backend_matches_default(setup):
+    """ServingEngine(decode_backend="xla_early") — the backend's target use
+    case — answers identically to the default engine."""
+    task, model, vocab, ds, params = setup
+    samples = _samples_from_dataset(ds, 6)
+    plain = ServingEngine(model, params, vocab, buckets=(2,), max_wait_ms=20.0)
+    plain.warmup()
+    with plain:
+        want = [f.result(timeout=60)["answer"]
+                for f in plain.submit_many(samples)]
+    early = ServingEngine(model, params, vocab, buckets=(2,),
+                          max_wait_ms=20.0, decode_backend="xla_early")
+    early.warmup()
+    with early:
+        got = [f.result(timeout=60)["answer"]
+               for f in early.submit_many(samples)]
+    assert got == want

@@ -294,6 +294,7 @@ class Evaluator:
         beam_size: int,
         gt_answers_by_qid: Optional[Dict[int, List[str]]] = None,
         early_exit: bool = False,
+        device_put=None,
     ) -> Dict:
         """Beam-search decode with the reference's full result schema.
 
@@ -369,7 +370,12 @@ class Evaluator:
         def dispatch(batch):
             host_only = {k: v for k, v in batch.items() if k.startswith("_")}
             qids = _batch_qids(batch, host_only)
-            seqs, scores = beam_fn(params, self._transfer_batch(batch))
+            device_batch = self._transfer_batch(batch)
+            if device_put is not None:
+                # sharded placement hook (e.g. a DP x TP mesh) — the beam
+                # analogue of run_split's device_put
+                device_batch = device_put(device_batch)
+            seqs, scores = beam_fn(params, device_batch)
             return seqs, scores, host_only, qids
 
         _pipelined(batches, dispatch, consume)

@@ -237,3 +237,31 @@ def test_run_split_ocr_bucket_with_early_exit_backend(setup):
         ocr_bucket=3,
     )
     assert got["predictions"] == want["predictions"]
+
+
+def test_run_split_beam_sharded_device_put_matches(setup):
+    """run_split_beam over a DP x TP mesh via the device_put hook (the beam
+    analogue of run_split's) reproduces the single-device results."""
+    from sam_textvqa_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        shard_params,
+    )
+
+    task, model, vocab, ds, params = setup
+    want = Evaluator(model, vocab).run_split_beam(
+        params, EpochBatcher(ds, 4, shuffle=False).epoch_batches(), 3
+    )
+    mesh = make_mesh(8, model_parallel=2)
+    params_m = jax.device_put(
+        params, shard_params(params, mesh, tensor_parallel=True)
+    )
+    bs = batch_sharding(mesh)
+    got = Evaluator(model, vocab).run_split_beam(
+        params_m, EpochBatcher(ds, 4, shuffle=False).epoch_batches(), 3,
+        device_put=lambda b: jax.device_put(b, bs),
+    )
+    assert got["accuracy"] == want["accuracy"]
+    assert [p["pred_answer"] for p in got["predictions"]] == [
+        p["pred_answer"] for p in want["predictions"]
+    ]

@@ -85,6 +85,26 @@ DECODE_KEYS = (
 )
 
 
+def shrink_ocr_batch(batch: Dict, n_obj: int, n_small: int) -> Dict:
+    """Slice every OCR-width array (and the OCR tail of the visual
+    spatial matrix — obj rows come first) down to ``n_small`` slots.
+    Exact for batches whose rows all have <= n_small real OCR tokens:
+    the dropped slots carry the -10000 additive bias, whose softmax
+    contribution is exactly 0.0 in f32, so every SELECTION (argmax token,
+    top-k beam choice) is identical (tests/test_evaluator.py). Raw logits
+    are bit-identical on TPU as measured; on CPU, XLA's reduction
+    lane-grouping shifts with sequence length, so accumulated beam scores
+    can move by one f32 ulp. Shared by the evaluator's and the serving
+    engine's sequence-length bucketing."""
+    out = dict(batch)
+    for k in ("pad_ocr_features", "pad_ocr_mask", "pad_ocr_bboxes",
+              "ocr_fasttext", "ocr_phoc"):
+        out[k] = batch[k][:, :n_small]
+    vis = n_obj + n_small
+    out["spatial_classes"] = batch["spatial_classes"][:, :vis, :vis]
+    return out
+
+
 class Evaluator:
     def __init__(
         self,
@@ -140,23 +160,13 @@ class Evaluator:
         return self._greedy[key]
 
     def _ocr_bucket_model(self, n_small: int):
-        """The SAME weights compiled at a narrower OCR width: no parameter
-        depends on the slot count (Dense weights are per-feature, decoder
-        position embeddings cover only the 12 steps), so a batch whose rows
-        all carry <= n_small OCR tokens can run a (170 - 50 + n_small)-token
-        executable. Static-shape bucketing — the TPU answer to the dynamic
-        shapes the reference never needed to care about on GPU."""
-        import dataclasses
+        """Same weights, narrower OCR width — a (170 - 50 + n_small)-token
+        executable. Static-shape bucketing: the TPU answer to the dynamic
+        shapes the reference never needed to care about on GPU (see
+        models.sa_m4c.with_ocr_width)."""
+        from ..models.sa_m4c import with_ocr_width
 
-        pc = self.model.params_cfg
-        small = pc._replace(
-            mmt=dataclasses.replace(pc.mmt, max_ocr_num=n_small)
-        )
-        return type(self.model)(
-            params_cfg=small,
-            dtype=self.model.dtype,
-            attention_backend=self.model.attention_backend,
-        )
+        return with_ocr_width(self.model, n_small)
 
     def _transfer_batch(self, batch):
         """Host batch -> device arrays, shipping only DECODE_KEYS and
@@ -173,21 +183,33 @@ class Evaluator:
         # serving engine", rule 1)
         return jax.device_put(picked)
 
-    @staticmethod
-    def _shrink_ocr(batch, n_obj: int, n_small: int):
-        """Slice every OCR-width array (and the OCR tail of the visual
-        spatial matrix — obj rows come first) down to ``n_small`` slots.
-        Exact for batches whose rows all have <= n_small real OCR tokens:
-        the dropped slots carry the -10000 additive bias, whose softmax
-        contribution is exactly 0.0 in f32, so removing them changes no
-        real row's output (tests/test_evaluator.py)."""
-        out = dict(batch)
-        for k in ("pad_ocr_features", "pad_ocr_mask", "pad_ocr_bboxes",
-                  "ocr_fasttext", "ocr_phoc"):
-            out[k] = batch[k][:, :n_small]
-        vis = n_obj + n_small
-        out["spatial_classes"] = batch["spatial_classes"][:, :vis, :vis]
-        return out
+    def _bucket_ladder(self, ocr_bucket, make_fn):
+        """Normalize ``ocr_bucket`` (int or sequence of ints) into an
+        ascending list of (width, fn) rungs via ``make_fn(width)``."""
+        if ocr_bucket is None:
+            return []
+        widths = (
+            (ocr_bucket,) if isinstance(ocr_bucket, int) else tuple(ocr_bucket)
+        )
+        ladder = []
+        for w in sorted({int(w) for w in widths}):
+            assert 0 < w < self.model.params_cfg.mmt.max_ocr_num, w
+            ladder.append((w, make_fn(w)))
+        return ladder
+
+    def _route_bucket(self, batch, buckets, n_obj, full_fn):
+        """Pick the narrowest ladder rung that holds every real OCR token
+        in ``batch`` (fall back to ``full_fn``); returns (batch, fn)."""
+        if buckets:
+            used = np.flatnonzero(np.asarray(batch["pad_ocr_mask"]).any(axis=0))
+            needed = int(used[-1]) + 1 if used.size else 0
+            for w, small_fn in buckets:
+                if needed <= w:
+                    return self._shrink_ocr(batch, n_obj, w), small_fn
+        return batch, full_fn
+
+    # sequence-length slicing shared with the serving engine
+    _shrink_ocr = staticmethod(shrink_ocr_batch)
 
     def run_split(
         self,
@@ -195,7 +217,7 @@ class Evaluator:
         batches,
         device_put=None,
         gt_answers_by_qid: Optional[Dict[int, List[str]]] = None,
-        ocr_bucket: Optional[int] = None,
+        ocr_bucket=None,
     ) -> Dict:
         """Greedy-decode every batch; returns accuracy + EvalAI predictions.
 
@@ -205,21 +227,18 @@ class Evaluator:
         split carries none — the analogue of the reference's eval_df pickle
         join (reference evaluator.py:67-93, 304-356).
 
-        ``ocr_bucket``: also compile a narrower executable at this OCR
-        width and route every batch whose rows ALL have <= ocr_bucket real
-        OCR tokens through it (identical answers — see ``_shrink_ocr``;
-        sequence-length bucketing trades one extra compile for a shorter
-        encoder on eligible batches).
+        ``ocr_bucket``: an OCR width (int) or a LADDER of widths (sequence
+        of ints). Each batch routes to the narrowest compiled executable
+        that holds every real OCR token in the batch, falling back to the
+        full width (identical answers — see ``_shrink_ocr``). jit compiles
+        lazily, so ladder rungs no batch ever needs cost nothing.
         """
         greedy = self._greedy_fn()
-        greedy_small, n_obj = None, self.model.params_cfg.mmt.max_obj_num
-        if ocr_bucket is not None:
-            assert 0 < ocr_bucket < self.model.params_cfg.mmt.max_ocr_num, (
-                ocr_bucket
-            )
-            greedy_small = self._greedy_fn(
-                self._ocr_bucket_model(ocr_bucket), cache_tag=ocr_bucket
-            )
+        n_obj = self.model.params_cfg.mmt.max_obj_num
+        buckets = self._bucket_ladder(
+            ocr_bucket,
+            lambda w: self._greedy_fn(self._ocr_bucket_model(w), cache_tag=w),
+        )
         all_preds: List[Dict] = []
         scored_preds: List[Dict] = []
 
@@ -252,12 +271,7 @@ class Evaluator:
         def dispatch(batch):
             host_only = {k: v for k, v in batch.items() if k.startswith("_")}
             qids = _batch_qids(batch, host_only)
-            fn = greedy
-            if greedy_small is not None and not np.asarray(
-                batch["pad_ocr_mask"][:, ocr_bucket:]
-            ).any():
-                batch = self._shrink_ocr(batch, n_obj, ocr_bucket)
-                fn = greedy_small
+            batch, fn = self._route_bucket(batch, buckets, n_obj, greedy)
             device_batch = self._transfer_batch(batch)
             if device_put is not None:
                 device_batch = device_put(device_batch)
@@ -295,6 +309,7 @@ class Evaluator:
         gt_answers_by_qid: Optional[Dict[int, List[str]]] = None,
         early_exit: bool = False,
         device_put=None,
+        ocr_bucket=None,
     ) -> Dict:
         """Beam-search decode with the reference's full result schema.
 
@@ -303,7 +318,11 @@ class Evaluator:
         (reference evaluator.py:312-340) — and the per-question best beam by
         topkscore (reference :344-351, ``best_result_df``) provides the
         headline answer. Both the VQA soft metric and ANLS are reported
-        (reference :88-93)."""
+        (reference :88-93).
+
+        ``ocr_bucket``: same sequence-length bucketing as ``run_split`` —
+        an int or ladder of OCR widths; each batch beam-decodes on the
+        narrowest executable that fits (identical answers)."""
         from ..models.beam_search import beam_search_decode
         from ..models.fast_decode import beam_search_decode_fast
 
@@ -316,11 +335,20 @@ class Evaluator:
         # is done; BIT-identical outputs (fast_decode.beam_search_decode_fast)
         kw = {"early_exit": True} if early_exit and self.fast_decode else {}
 
-        @jax.jit
-        def beam_fn(p, device_batch):
-            return beam_impl(
-                self.model, p, device_batch, beam_size, bos, eos, **kw
-            )
+        def make_beam_fn(model):
+            @jax.jit
+            def beam_fn(p, device_batch):
+                return beam_impl(
+                    model, p, device_batch, beam_size, bos, eos, **kw
+                )
+
+            return beam_fn
+
+        beam_fn = make_beam_fn(self.model)
+        n_obj = self.model.params_cfg.mmt.max_obj_num
+        buckets = self._bucket_ladder(
+            ocr_bucket, lambda w: make_beam_fn(self._ocr_bucket_model(w))
+        )
 
         all_preds: List[Dict] = []
         scored_preds: List[Dict] = []
@@ -370,12 +398,13 @@ class Evaluator:
         def dispatch(batch):
             host_only = {k: v for k, v in batch.items() if k.startswith("_")}
             qids = _batch_qids(batch, host_only)
+            batch, fn = self._route_bucket(batch, buckets, n_obj, beam_fn)
             device_batch = self._transfer_batch(batch)
             if device_put is not None:
                 # sharded placement hook (e.g. a DP x TP mesh) — the beam
                 # analogue of run_split's device_put
                 device_batch = device_put(device_batch)
-            seqs, scores = beam_fn(params, device_batch)
+            seqs, scores = fn(params, device_batch)
             return seqs, scores, host_only, qids
 
         _pipelined(batches, dispatch, consume)

@@ -58,6 +58,24 @@ class SimpleClassifier(nn.Module):
         return Dense(self.out_dim, dtype=self.dtype, name="dense1")(x)
 
 
+def with_ocr_width(model: "SAM4C", n_small: int) -> "SAM4C":
+    """The SAME weights compiled at a narrower OCR width: no parameter
+    depends on the slot count (Dense weights are per-feature, decoder
+    position embeddings cover only the decode steps), so inputs whose rows
+    all carry <= n_small OCR tokens can run a shorter-sequence executable.
+    Used by the evaluator's and serving engine's sequence-length bucketing
+    (SCALING.md); exactness argument in Evaluator._shrink_ocr."""
+    import dataclasses
+
+    pc = model.params_cfg
+    small = pc._replace(mmt=dataclasses.replace(pc.mmt, max_ocr_num=n_small))
+    return type(model)(
+        params_cfg=small,
+        dtype=model.dtype,
+        attention_backend=model.attention_backend,
+    )
+
+
 class SAM4C(nn.Module):
     params_cfg: SAM4CParams
     dtype: jnp.dtype = jnp.float32

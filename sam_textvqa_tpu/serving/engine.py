@@ -145,6 +145,8 @@ class ServingStats:
     batches: int = 0
     padded_rows: int = 0
     occupancy: Dict[int, int] = field(default_factory=dict)  # bucket -> count
+    #: OCR-width rung -> batches routed there (only when ocr_buckets is set)
+    ocr_width_occupancy: Dict[int, int] = field(default_factory=dict)
     latencies_ms: deque = field(default_factory=lambda: deque(maxlen=4096))
     #: dispatch -> answered, per batch: the transfer+decode+fetch service
     #: time, free of queueing (under a closed-loop flood latencies_ms is
@@ -168,6 +170,10 @@ class ServingStats:
                 "padded_rows": self.padded_rows,
                 "occupancy": dict(sorted(self.occupancy.items())),
             }
+            if self.ocr_width_occupancy:
+                out["ocr_width_occupancy"] = dict(
+                    sorted(self.ocr_width_occupancy.items())
+                )
             started = self.started
         elapsed = (
             max(time.monotonic() - started, 1e-9)
@@ -211,6 +217,10 @@ class ServingEngine:
       model/params: a built SAM4C flax module + its param tree.
       answer_vocab: fixed answer VocabDict (for BOS/EOS + word decode).
       buckets: allowed batch sizes, each pre-compiled once by ``warmup``.
+      ocr_buckets: optional ladder of OCR widths — a coalesced batch whose
+        requests all fit in a rung runs a narrower executable (identical
+        answers; same slicing as the offline evaluator's ``--ocr_bucket``).
+        ``warmup`` pre-compiles the full (batch-bucket x width) grid.
       max_wait_ms: coalescing window after the first queued request.
       decode_backend: models.fast_decode backend ("auto" = XLA, fastest).
       device_put: optional callable mapping a host batch dict to device
@@ -231,6 +241,7 @@ class ServingEngine:
         pipeline_depth: int = 2,
         max_queue: int = 4096,
         beam_size: int = 1,
+        ocr_buckets: Optional[Sequence[int]] = None,
     ):
         assert buckets and all(b > 0 for b in buckets), buckets
         assert beam_size >= 1, beam_size
@@ -264,7 +275,19 @@ class ServingEngine:
             for k, v in self._zero_sample().items()
             if k in SAMPLE_KEYS
         }
-        self._greedy = self._make_greedy()
+        self._greedy = self._make_greedy(self.model)
+        # OCR-width ladder (ascending): coalesced batches route to the
+        # narrowest executable that fits every request's real OCR tokens
+        max_ocr = self.model.params_cfg.mmt.max_ocr_num
+        self._narrow = []
+        if ocr_buckets:
+            from ..models.sa_m4c import with_ocr_width
+
+            for w in sorted({int(w) for w in ocr_buckets}):
+                assert 0 < w < max_ocr, w
+                self._narrow.append(
+                    (w, self._make_greedy(with_ocr_width(self.model, w)))
+                )
         self._batcher = threading.Thread(
             target=self._batch_loop, name="serving-batcher", daemon=True
         )
@@ -275,7 +298,7 @@ class ServingEngine:
 
     # ---- decode plumbing ------------------------------------------------
 
-    def _make_greedy(self):
+    def _make_greedy(self, model):
         from ..models.fast_decode import (
             beam_search_decode_fast,
             greedy_decode_fast,
@@ -294,7 +317,7 @@ class ServingEngine:
                 # DEVICE, so the consumer path is decode-mode agnostic;
                 # early_exit is bit-identical for beams (fast_decode)
                 seqs, scores = beam_search_decode_fast(
-                    self.model, params, device_batch, k, bos, eos,
+                    model, params, device_batch, k, bos, eos,
                     early_exit=True,
                 )
                 best = jnp.argmax(scores, axis=1)
@@ -308,7 +331,7 @@ class ServingEngine:
         @jax.jit
         def fn(params, device_batch):
             return greedy_decode_fast(
-                self.model, params, device_batch, bos, backend=backend,
+                model, params, device_batch, bos, backend=backend,
                 eos_idx=eos,
             )
 
@@ -350,6 +373,21 @@ class ServingEngine:
                 return b
         return self.buckets[-1]
 
+    def _route_width(self, samples: List[Dict]):
+        """Narrowest ladder rung holding every real OCR token across the
+        group (None -> the full-width executable). OCR width is known at
+        request time, so serving gets sequence-length bucketing for free."""
+        if self._narrow:
+            needed = 0
+            for s in samples:
+                used = np.flatnonzero(np.asarray(s["pad_ocr_mask"]))
+                if used.size:
+                    needed = max(needed, int(used[-1]) + 1)
+            for w, fn in self._narrow:
+                if needed <= w:
+                    return fn, w
+        return self._greedy, None
+
     def _place(self, host_batch: Dict):
         """One device_put of the WHOLE batch pytree. A single transfer RPC
         matters on remote-attached TPUs: shipping the 13 arrays as separate
@@ -365,11 +403,17 @@ class ServingEngine:
         blocks on) each result: the first device->host fetch of a decode
         output is where remote-TPU runtimes settle one-time setup costs,
         and it must not land on a live request."""
+        from ..evaluation.evaluator import shrink_ocr_batch
+
         zero = self._zero_sample()
+        n_obj = self.model.params_cfg.mmt.max_obj_num
         for b in self.buckets:
-            batch = self._place(self._stack([zero], b))
-            _, pred = self._greedy(self.params, batch)
-            np.asarray(pred)
+            host = self._stack([zero], b)
+            # the full (batch-bucket x OCR-width) executable grid
+            for w, fn in self._narrow + [(None, self._greedy)]:
+                shaped = host if w is None else shrink_ocr_batch(host, n_obj, w)
+                _, pred = fn(self.params, self._place(shaped))
+                np.asarray(pred)
 
     # ---- public API -----------------------------------------------------
 
@@ -525,17 +569,30 @@ class ServingEngine:
                 self._inflight += len(group)
             try:
                 bucket = self._pick_bucket(len(group))
-                batch = self._place(
-                    self._stack([g.sample for g in group], bucket)
-                )
+                samples = [g.sample for g in group]
+                fn, width = self._route_width(samples)
+                host_batch = self._stack(samples, bucket)
+                if width is not None:
+                    from ..evaluation.evaluator import shrink_ocr_batch
+
+                    host_batch = shrink_ocr_batch(
+                        host_batch,
+                        self.model.params_cfg.mmt.max_obj_num,
+                        width,
+                    )
+                batch = self._place(host_batch)
                 # async dispatch: hand the un-fetched result to the consumer
-                _, pred_ids = self._greedy(self.params, batch)
+                _, pred_ids = fn(self.params, batch)
                 with self.stats.lock:
                     self.stats.batches += 1
                     self.stats.padded_rows += bucket - len(group)
                     self.stats.occupancy[bucket] = (
                         self.stats.occupancy.get(bucket, 0) + 1
                     )
+                    if width is not None:
+                        self.stats.ocr_width_occupancy[width] = (
+                            self.stats.ocr_width_occupancy.get(width, 0) + 1
+                        )
                 self._results.put((group, pred_ids, time.monotonic()))
             except BaseException as e:  # bad batch: isolate/fail, keep serving
                 self._resolve_group(group, e)

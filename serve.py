@@ -52,6 +52,11 @@ def get_args():
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
     p.add_argument("--buckets", default="1,8,32",
                    help="comma-separated pre-compiled batch sizes")
+    p.add_argument("--ocr_bucket", default=None, metavar="N[,N...]",
+                   help="comma-separated OCR-width ladder: batches whose "
+                   "requests all fit a rung run a narrower executable "
+                   "(identical answers; warmup compiles the bucket x width "
+                   "grid)")
     p.add_argument("--max_wait_ms", type=float, default=2.0)
     p.add_argument(
         "--decode_backend",
@@ -162,11 +167,16 @@ def build_engine(args):
         decode_backend=args.decode_backend,
         device_put=device_put,
         beam_size=args.beam_size,
+        ocr_buckets=(
+            [int(w) for w in args.ocr_bucket.split(",") if w]
+            if args.ocr_bucket else None
+        ),
     )
     t0 = time.time()
     engine.warmup()
+    n_exec = len(buckets) * (1 + len(engine._narrow))
     logger.info(
-        "warmed %d bucket executables in %.1fs", len(buckets), time.time() - t0
+        "warmed %d bucket executables in %.1fs", n_exec, time.time() - t0
     )
     return task_cfg, vocab, engine
 

@@ -165,6 +165,75 @@ def test_run_split_ocr_bucket_identical(setup):
     assert (True, "auto", 3) in ev._greedy and (True, "auto", None) in ev._greedy
 
 
+def test_run_split_ocr_bucket_ladder(setup):
+    """run_split(ocr_bucket=[2, 4]) — a LADDER of widths: each batch routes
+    to the narrowest executable that fits its rows. The split carries one
+    batch per regime (rows 0-3 fit 2 slots, 4-7 fit 4, 8-11 need full
+    width) and every prediction must equal the single-executable run."""
+    task, model, vocab, ds, params = setup
+    ds2 = SyntheticDataset(task, 12, num_answers_vocab=len(vocab))
+    ds2.pool["pad_ocr_mask"][:4, 2:] = 0.0
+    ds2.pool["pad_ocr_mask"][4:8, 4:] = 0.0
+
+    want = Evaluator(model, vocab).run_split(
+        params, EpochBatcher(ds2, 4, shuffle=False).epoch_batches()
+    )
+    ev = Evaluator(model, vocab)
+    got = ev.run_split(
+        params, EpochBatcher(ds2, 4, shuffle=False).epoch_batches(),
+        ocr_bucket=[4, 2],  # unsorted on purpose — normalized ascending
+    )
+    assert got["predictions"] == want["predictions"]
+    assert got["accuracy"] == want["accuracy"]
+    # every rung (and the full-width fallback) really ran
+    for tag in (2, 4, None):
+        assert (True, "auto", tag) in ev._greedy
+
+
+def test_run_split_beam_ocr_bucket_identical(setup):
+    """run_split_beam(ocr_bucket=[2, 4]): beam decode routes through the
+    same narrow-executable ladder as greedy; the full per-beam schema
+    (beams, topkscores, best-beam headline) must match the full-width run
+    exactly."""
+    task, model, vocab, ds, params = setup
+    ds2 = SyntheticDataset(task, 12, num_answers_vocab=len(vocab))
+    ds2.pool["pad_ocr_mask"][:4, 2:] = 0.0
+    ds2.pool["pad_ocr_mask"][4:8, 4:] = 0.0
+
+    want = Evaluator(model, vocab).run_split_beam(
+        params, EpochBatcher(ds2, 4, shuffle=False).epoch_batches(), 2
+    )
+    got = Evaluator(model, vocab).run_split_beam(
+        params, EpochBatcher(ds2, 4, shuffle=False).epoch_batches(), 2,
+        ocr_bucket=[2, 4],
+    )
+
+    # Every SELECTION (token ids, answers, best beam) must be identical.
+    # Cumulative beam scores are compared to one f32 ulp instead of
+    # bitwise: on CPU, XLA's reduction lane-grouping shifts when the
+    # sequence shortens, moving low-order bits (measured bit-identical on
+    # TPU; see shrink_ocr_batch).
+    def strip_scores(preds):
+        return [
+            {
+                **{k: v for k, v in p.items() if k != "topkscore"},
+                "beams": [
+                    {k: v for k, v in b.items() if k != "topkscore"}
+                    for b in p["beams"]
+                ],
+            }
+            for p in preds
+        ]
+
+    assert strip_scores(got["predictions"]) == strip_scores(want["predictions"])
+    for gp, wp in zip(got["predictions"], want["predictions"]):
+        assert abs(gp["topkscore"] - wp["topkscore"]) < 1e-5
+        for gb, wb in zip(gp["beams"], wp["beams"]):
+            assert abs(gb["topkscore"] - wb["topkscore"]) < 1e-5
+    assert got["accuracy"] == want["accuracy"]
+    assert got["anls"] == want["anls"]
+
+
 def test_run_split_dataset_smaller_than_batch(setup):
     """A split smaller than one batch must still serve a full fixed-shape
     batch (np.resize tiling in EpochBatcher) and score only the real rows."""

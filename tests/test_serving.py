@@ -82,6 +82,48 @@ def test_serving_answers_match_offline_eval(setup):
     assert "latency_ms_p99" in s
 
 
+def test_serving_ocr_bucket_ladder_same_answers(setup):
+    """ocr_buckets=[2]: requests whose OCR tokens all fit 2 slots route to
+    the narrower executable (ocr_width_occupancy counts it) with answers
+    identical to the full-width engine's; a wide request falls back."""
+    task, model, vocab, ds, params = setup
+    ds2 = SyntheticDataset(task, 12, num_answers_vocab=len(vocab))
+    ds2.pool["pad_ocr_mask"][:12, 2:] = 0.0  # every row fits 2 slots
+
+    def answers(engine, samples):
+        engine.warmup()
+        with engine:
+            futs = engine.submit_many(samples)
+            return [f.result(timeout=60)["answer"] for f in futs]
+
+    samples = _samples_from_dataset(ds2, 8)
+    want = answers(
+        ServingEngine(model, params, vocab, buckets=(1, 4), max_wait_ms=20.0),
+        samples,
+    )
+    narrow = ServingEngine(
+        model, params, vocab, buckets=(1, 4), max_wait_ms=20.0,
+        ocr_buckets=[2],
+    )
+    got = answers(narrow, samples)
+    assert got == want
+    s = narrow.stats.summary()
+    assert sum(s["ocr_width_occupancy"].values()) == s["batches"]
+
+    # a request using slot 3 must fall back to the full-width executable
+    wide = ServingEngine(
+        model, params, vocab, buckets=(1, 4), max_wait_ms=1.0,
+        ocr_buckets=[2],
+    )
+    wide.warmup()
+    with wide:
+        full = _samples_from_dataset(SyntheticDataset(
+            task, 1, num_answers_vocab=len(vocab)), 1)[0]
+        full["pad_ocr_mask"][:] = 1.0
+        wide.submit(full).result(timeout=60)
+    assert wide.stats.summary().get("ocr_width_occupancy", {}) == {}
+
+
 def test_bucket_padding_and_occupancy(setup):
     task, model, vocab, ds, params = setup
     engine = ServingEngine(

@@ -57,9 +57,11 @@ def get_args():
         "default) or pallas (ops/fused_attention.py kernel)",
     )
     parser.add_argument(
-        "--ocr_bucket", type=int, default=None,
-        help="pretrained-eval only: also compile a narrower executable at "
-        "this OCR width and route batches whose rows all fit through it "
+        "--ocr_bucket", type=lambda s: [int(x) for x in s.split(",") if x],
+        default=None, metavar="N[,N...]",
+        help="pretrained-eval only: compile narrower executable(s) at "
+        "these OCR widths (a single int or a comma-separated ladder) and "
+        "route each batch through the narrowest one that fits its rows "
         "(identical answers; sequence-length bucketing, SCALING.md)",
     )
     parser.add_argument(
@@ -392,7 +394,7 @@ def main():
             if args.beam_size > 1:
                 result = evaluator.run_split_beam(
                     params, batcher.epoch_batches(), args.beam_size,
-                    gt_answers_by_qid=gt,
+                    gt_answers_by_qid=gt, ocr_bucket=args.ocr_bucket,
                 )
                 name = f"evalai_{split}_beam_{args.beam_size}.json"
             else:

@@ -65,6 +65,9 @@ def get_args():
     )
     p.add_argument("--demo", type=int, default=0,
                    help="submit N synthetic requests and print stats")
+    p.add_argument("--demo_ocr", type=int, default=None,
+                   help="demo: cap each synthetic request to this many "
+                   "real OCR tokens (exercises the --ocr_bucket ladder)")
     p.add_argument("--concurrency", type=int, default=8,
                    help="demo client threads")
     p.add_argument("--rate", type=float, default=0.0,
@@ -182,12 +185,15 @@ def build_engine(args):
 
 
 def run_demo(task_cfg, vocab, engine, n: int, concurrency: int,
-             rate: float = 0.0):
+             rate: float = 0.0, demo_ocr=None):
     """Synthetic load test; prints one stats JSON line.
 
     ``rate == 0`` floods (closed loop: throughput-bound, latencies measure
     queue time); ``rate > 0`` paces submissions open-loop at the target
     qps so latency percentiles reflect service time under that load.
+    ``demo_ocr`` caps each synthetic request's real OCR tokens so the
+    engine's --ocr_bucket ladder actually routes (real traffic carries its
+    own widths; the default synthetic pool is full-width).
     """
     from sam_textvqa_tpu.data.synthetic import SyntheticDataset
     from sam_textvqa_tpu.serving.engine import SAMPLE_KEYS
@@ -200,6 +206,10 @@ def run_demo(task_cfg, vocab, engine, n: int, concurrency: int,
     for i in range(pool_n):
         s = {k: np.asarray(batch[k][i]) for k in SAMPLE_KEYS}
         s["ocr_tokens"] = batch["_ocr_tokens"][i]
+        if demo_ocr is not None:
+            mask = np.array(s["pad_ocr_mask"])
+            mask[demo_ocr:] = 0.0
+            s["pad_ocr_mask"] = mask
         samples.append(s)
 
     t0 = time.time()
@@ -327,7 +337,7 @@ def main():
     try:
         if args.demo:
             run_demo(task_cfg, vocab, engine, args.demo, args.concurrency,
-                     rate=args.rate)
+                     rate=args.rate, demo_ocr=args.demo_ocr)
         if args.port is not None:
             run_server(engine, args.host, args.port)
     finally:

@@ -366,6 +366,27 @@ def test_run_demo_paced_open_loop(setup, capsys):
     assert json.loads(out)["demo_requests"] == 16
 
 
+def test_run_demo_ocr_cap_routes_ladder(setup, capsys):
+    """serve.run_demo(demo_ocr=2) caps synthetic requests' real OCR tokens,
+    so an engine with ocr_buckets routes every batch to the narrow rung."""
+    import sys as _sys
+
+    _sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    import serve
+
+    task, model, vocab, ds, params = setup
+    engine = ServingEngine(model, params, vocab, buckets=(1, 4),
+                           max_wait_ms=2.0, ocr_buckets=[2])
+    engine.warmup()
+    with engine:
+        stats = serve.run_demo(task, vocab, engine, n=8, concurrency=4,
+                               demo_ocr=2)
+    assert stats["requests"] == 8
+    assert stats["errors"] == []
+    assert sum(stats["ocr_width_occupancy"].values()) == stats["batches"]
+    capsys.readouterr()
+
+
 def test_build_sample_schema(setup):
     task, model, vocab, ds, params = setup
     mmt = task.mmt

@@ -49,8 +49,20 @@ def lr_factor_schedule(task_cfg: TaskConfig) -> Callable[[jnp.ndarray], jnp.ndar
 
 
 def param_lr_scales(params, task_cfg: TaskConfig):
-    """Per-leaf LR multipliers mirroring the reference param groups."""
-    tb_scale = task_cfg.text_bert.lr_scale_text_bert
+    """Per-leaf LR multipliers mirroring the reference param groups.
+
+    The text_bert scale applies ONLY when initializing from bert-base: the
+    reference registers the text_bert finetune group inside the
+    ``text_bert_init_from_bert_base`` branch (sam/sa_m4c.py:74-88) — a
+    randomly-initialized TextBert trains at the base LR.  (Verified by the
+    torch-vs-optax trajectory oracle,
+    tests/test_reference_model_oracle.py::test_optimizer_trajectory_*.)
+    """
+    tb_scale = (
+        task_cfg.text_bert.lr_scale_text_bert
+        if task_cfg.text_bert.text_bert_init_from_bert_base
+        else 1.0
+    )
     mmt_scale = task_cfg.mmt.lr_scale_mmt
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]

@@ -196,6 +196,150 @@ def test_greedy_loop_matches_reference():
     np.testing.assert_array_equal(ours_prev, ref_prev)
 
 
+def _torch_bce_loss(scores, targets, loss_mask):
+    """Literal transcription of M4CDecodingBCEWithMaskLoss
+    (reference sam/task_utils.py:19-30) for the torch side of the
+    trajectory oracle."""
+    losses = torch.nn.functional.binary_cross_entropy_with_logits(
+        scores, targets, reduction="none"
+    )
+    losses = losses * loss_mask.unsqueeze(-1)
+    count = torch.max(loss_mask.sum(), torch.tensor(1.0))
+    return losses.sum() / count
+
+
+@pytest.mark.parametrize("variant", ["c3", "c5", "c3-tb-scaled"])
+def test_optimizer_trajectory_matches_reference(variant, monkeypatch):
+    """THE training-dynamics parity proof: N full optimizer steps on both
+    stacks from shared weights — torch Adam + LambdaLR + clip_grad_norm 0.25
+    exactly as the reference steps them (train.py:138-144,
+    task_utils.py:33-57) vs our optax chain
+    (training/optimizer.py:make_optimizer) driven by the real jitted
+    train_step.  Asserts per-step loss agreement and final parameter
+    agreement (via the converter name map) across warmup AND both decay
+    milestones: warmup_iters=3, decay at steps 5 and 7, 10 steps total.
+
+    Dropouts are zeroed so both sides are deterministic; each step consumes
+    a fresh identical batch (fresh teacher-forcing targets), mirroring real
+    training rather than single-batch overfit."""
+    import dataclasses as dc
+    from bisect import bisect
+
+    import jax
+    import jax.numpy as jnp
+
+    from sam_textvqa_tpu.config import MATRIX_TYPE_MAP
+    from sam_textvqa_tpu.training.optimizer import make_optimizer
+    from sam_textvqa_tpu.training.step import create_train_state, make_train_step
+
+    n_steps = 10
+    scaled_tb = variant == "c3-tb-scaled"
+    task = _configs(mmt_overrides=VARIANTS["c3" if scaled_tb else variant])
+    task = dc.replace(
+        task, lr=5e-4, warmup_iters=3, warmup_factor=0.2,
+        lr_decay_iters=(5, 7), lr_decay=0.1, max_grad_norm=0.25,
+    )
+    if scaled_tb:
+        # exercise the 0.1 text_bert LR-scale path (reference sa_m4c.py:74-88
+        # registers the finetune group only under init-from-bert-base); the
+        # shim's from_pretrained is patched to plain construction — weights
+        # are immediately overwritten with the shared flax init anyway
+        import reference_model_oracle as rmo
+
+        task = dc.replace(
+            task,
+            text_bert=dc.replace(task.text_bert, text_bert_init_from_bert_base=True),
+        )
+        monkeypatch.setattr(
+            rmo.BertPreTrainedModel,
+            "from_pretrained",
+            classmethod(lambda cls, name, config=None, **kw: cls(config)),
+        )
+    model, params, batch, batch_np, ref_model, tbatch = _build_pair(task)
+
+    ctx_keys = sorted(
+        {MATRIX_TYPE_MAP[m] for lt, m in
+         zip(task.mmt.layer_type_list, task.mmt.mix_list) if lt in ("s", "i")}
+    )
+    batches_np = [_batch(task, seed=1000 + i) for i in range(n_steps)]
+
+    # ---- torch side: the reference's exact update sequence ----
+    groups = ref_model.get_optimizer_parameters(task.lr)
+    opt = torch.optim.Adam(groups, lr=task.lr)
+
+    def lr_update(_iter):  # reference task_utils.py:48-56
+        if _iter <= task.warmup_iters:
+            alpha = float(_iter) / float(task.warmup_iters)
+            return task.warmup_factor * (1.0 - alpha) + alpha
+        return pow(task.lr_decay, bisect(list(task.lr_decay_iters), _iter))
+
+    sched = torch.optim.lr_scheduler.LambdaLR(opt, lr_lambda=lr_update)
+    ref_model.train()
+    torch_losses = []
+    for bnp in batches_np:
+        tb = torch_batch(bnp, ctx_keys)
+        out = ref_model(tb)
+        loss = _torch_bce_loss(
+            out["textvqa_scores"], tb["targets"], tb["train_loss_mask"]
+        )
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(
+            ref_model.parameters(), task.max_grad_norm
+        )
+        opt.step()
+        sched.step()
+        ref_model.zero_grad()
+        torch_losses.append(float(loss.detach()))
+
+    # ---- jax side: the real production train step, jitted ----
+    optimizer = make_optimizer(params, task)
+    train_step = jax.jit(make_train_step(model, optimizer))
+    state = create_train_state(params, optimizer)
+    rng = jax.random.PRNGKey(0)  # inert: every dropout prob is 0.0
+    jax_losses = []
+    for bnp in batches_np:
+        jb = {k: jnp.asarray(v) for k, v in bnp.items()}
+        state, metrics = train_step(state, jb, rng)
+        jax_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(
+        jax_losses, torch_losses, rtol=5e-4, atol=5e-4,
+        err_msg=f"per-step loss trajectories diverged: jax={jax_losses} "
+                f"torch={torch_losses}",
+    )
+
+    # ---- final parameters, compared through the converter name map ----
+    layer_types = list(task.mmt.layer_type_list)
+    n_tb = task.text_bert.num_hidden_layers
+    sd_final, _ = state_dict_from_flax_params(
+        jax.tree.map(lambda v: np.asarray(v), state.params), layer_types, n_tb
+    )
+    sd_init, _ = state_dict_from_flax_params(
+        jax.tree.map(lambda v: np.asarray(v), params), layer_types, n_tb
+    )
+    ref_sd = {k: v.detach().cpu().numpy() for k, v in ref_model.state_dict().items()}
+    worst = (0.0, None)
+    for k, ours in sd_final.items():
+        ours = np.asarray(ours.detach().cpu()) if hasattr(ours, "detach") else np.asarray(ours)
+        theirs = ref_sd[k]
+        init = np.asarray(sd_init[k].detach().cpu()) if hasattr(sd_init[k], "detach") else np.asarray(sd_init[k])
+        # the reference side must actually have moved (update reached it)
+        delta_scale = float(np.abs(theirs - init).max())
+        diff = float(np.abs(ours - theirs).max())
+        tol = max(2e-6, 0.01 * max(delta_scale, 1e-8))
+        if diff / tol > worst[0]:
+            worst = (diff / tol, (k, diff, delta_scale))
+        assert diff <= tol, (
+            f"param {k}: max|ours-torch|={diff:.3e} exceeds tol {tol:.3e} "
+            f"(torch-side max update magnitude {delta_scale:.3e})"
+        )
+    # every parameter group received nonzero updates in this short run
+    moved = [k for k in sd_final if np.abs(ref_sd[k] - (
+        np.asarray(sd_init[k].detach().cpu()) if hasattr(sd_init[k], "detach") else np.asarray(sd_init[k])
+    )).max() > 0]
+    assert len(moved) > 0.9 * len(sd_final), "most params should have moved"
+
+
 def test_reference_checkpoint_to_answers_e2e():
     """The full north-star path minus real weights: a reference-layout
     torch checkpoint (the reference model's OWN random initialization)

@@ -22,6 +22,7 @@ import numpy as np
 
 from ..data.vocab import SpecialIds, VocabDict
 from .metrics import (
+    OCRVQAAccuracyEvaluator,
     STVQAAccuracyEvaluator,
     STVQAANLSEvaluator,
     TextVQAAccuracyEvaluator,
@@ -45,6 +46,7 @@ def _batch_qids(batch, host_only):
 METRIC_EVALUATORS = {
     "textvqa": TextVQAAccuracyEvaluator,
     "stvqa": STVQAAccuracyEvaluator,
+    "ocrvqa": OCRVQAAccuracyEvaluator,
     "anls": STVQAANLSEvaluator,
 }
 
@@ -83,6 +85,17 @@ DECODE_KEYS = (
     "spatial_classes",
     "train_prev_inds",
 )
+
+
+def needed_ocr_width(pad_ocr_mask) -> int:
+    """Narrowest OCR width that holds every real token: last nonzero mask
+    column + 1 (0 when fully padded). Accepts a (B, N) batch mask or a
+    single (N,) sample mask. The shared routing primitive behind the
+    evaluator's and the serving engine's width ladders."""
+    m = np.asarray(pad_ocr_mask)
+    m = m.reshape(-1, m.shape[-1])
+    used = np.flatnonzero(m.any(axis=0))
+    return int(used[-1]) + 1 if used.size else 0
 
 
 def shrink_ocr_batch(batch: Dict, n_obj: int, n_small: int) -> Dict:
@@ -185,11 +198,25 @@ class Evaluator:
 
     def _bucket_ladder(self, ocr_bucket, make_fn):
         """Normalize ``ocr_bucket`` (int or sequence of ints) into an
-        ascending list of (width, fn) rungs via ``make_fn(width)``."""
+        ascending list of (width, fn) rungs via ``make_fn(width)``.
+
+        Single-controller only: routing reads the process-local
+        ``pad_ocr_mask``, so under multi-host DP different processes could
+        pick different widths for the same global step and trace different
+        executables, desyncing collectives. Guarded here rather than at the
+        call sites so every ladder user inherits it."""
         if ocr_bucket is None:
             return []
+        if jax.process_count() > 1:
+            raise ValueError(
+                "ocr_bucket width ladders route on the host-local OCR mask "
+                "and require a single-process (single-controller) runtime; "
+                f"got jax.process_count()={jax.process_count()}"
+            )
         widths = (
-            (ocr_bucket,) if isinstance(ocr_bucket, int) else tuple(ocr_bucket)
+            (ocr_bucket,)
+            if isinstance(ocr_bucket, (int, np.integer))
+            else tuple(ocr_bucket)
         )
         ladder = []
         for w in sorted({int(w) for w in widths}):
@@ -201,8 +228,7 @@ class Evaluator:
         """Pick the narrowest ladder rung that holds every real OCR token
         in ``batch`` (fall back to ``full_fn``); returns (batch, fn)."""
         if buckets:
-            used = np.flatnonzero(np.asarray(batch["pad_ocr_mask"]).any(axis=0))
-            needed = int(used[-1]) + 1 if used.size else 0
+            needed = needed_ocr_width(batch["pad_ocr_mask"])
             for w, small_fn in buckets:
                 if needed <= w:
                     return self._shrink_ocr(batch, n_obj, w), small_fn

@@ -245,6 +245,15 @@ def levenshtein(s1: str, s2: str) -> int:
     return lib.sam_edit_distance_u32(a, len(s1), b, len(s2))
 
 
+class OCRVQAAccuracyEvaluator(STVQAAccuracyEvaluator):
+    """Exact-match accuracy for OCR-VQA — identical scoring to ST-VQA under
+    a distinct metric name (reference metrics.py:84-89, a 4-line subclass of
+    STVQAAccuracy; dead code there — task_utils.py:60-67 never dispatches
+    it — kept here for inventory completeness)."""
+
+    name = "ocrvqa_accuracy"
+
+
 class STVQAANLSEvaluator:
     """ANLS metric: 1 - normalized edit distance, floored at 0.5
     (reference metrics.py:360-382)."""

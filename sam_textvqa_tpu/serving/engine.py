@@ -373,16 +373,25 @@ class ServingEngine:
                 return b
         return self.buckets[-1]
 
+    @property
+    def ladder_widths(self) -> List[int]:
+        """Ascending OCR-width ladder rungs (empty without --ocr_bucket)."""
+        return [w for w, _ in self._narrow]
+
+    @property
+    def num_executables(self) -> int:
+        """Size of the compiled (batch-bucket x OCR-width) grid warmup
+        touches: every bucket at every ladder rung plus full width."""
+        return len(self.buckets) * (1 + len(self._narrow))
+
     def _route_width(self, samples: List[Dict]):
         """Narrowest ladder rung holding every real OCR token across the
         group (None -> the full-width executable). OCR width is known at
         request time, so serving gets sequence-length bucketing for free."""
         if self._narrow:
-            needed = 0
-            for s in samples:
-                used = np.flatnonzero(np.asarray(s["pad_ocr_mask"]))
-                if used.size:
-                    needed = max(needed, int(used[-1]) + 1)
+            from ..evaluation.evaluator import needed_ocr_width
+
+            needed = max(needed_ocr_width(s["pad_ocr_mask"]) for s in samples)
             for w, fn in self._narrow:
                 if needed <= w:
                     return fn, w

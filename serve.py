@@ -177,9 +177,9 @@ def build_engine(args):
     )
     t0 = time.time()
     engine.warmup()
-    n_exec = len(buckets) * (1 + len(engine._narrow))
     logger.info(
-        "warmed %d bucket executables in %.1fs", n_exec, time.time() - t0
+        "warmed %d bucket executables in %.1fs",
+        engine.num_executables, time.time() - t0,
     )
     return task_cfg, vocab, engine
 

@@ -334,3 +334,14 @@ def test_run_split_beam_sharded_device_put_matches(setup):
     assert [p["pred_answer"] for p in got["predictions"]] == [
         p["pred_answer"] for p in want["predictions"]
     ]
+
+
+def test_bucket_ladder_accepts_numpy_int(setup):
+    """Configs and benchmark harnesses often carry numpy integer scalars;
+    _bucket_ladder must treat np.int64(3) as a single width, not iterate it."""
+    task, model, vocab, ds, params = setup
+    ev = Evaluator(model, vocab)
+    ladder = ev._bucket_ladder(np.int64(3), lambda w: ("fn", w))
+    assert ladder == [(3, ("fn", 3))]
+    assert ev._bucket_ladder([np.int64(4), 2], lambda w: w) == [(2, 2), (4, 4)]
+    assert ev._bucket_ladder(None, lambda w: w) == []

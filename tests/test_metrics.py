@@ -143,3 +143,45 @@ def test_native_editdistance_matches_python():
         a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 15)))
         b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 15)))
         assert levenshtein(a, b) == _levenshtein_python(a, b), (a, b)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_ocrvqa_matches_reference():
+    """OCRVQAAccuracy (reference metrics.py:84-89) is STVQAAccuracy under a
+    distinct metric name — dead code in the reference (task_utils.py:60-67
+    never dispatches it), mirrored here for inventory completeness. Oracle:
+    same scores as the reference wrapper's evaluator, same name."""
+    from sam_textvqa_tpu.evaluation.metrics import OCRVQAAccuracyEvaluator
+
+    ref_metrics = load_reference_module("sam/datasets/metrics.py", "ref_metrics")
+    ref_wrap = ref_metrics.OCRVQAAccuracy()
+    assert ref_wrap.name == OCRVQAAccuracyEvaluator.name == "ocrvqa_accuracy"
+
+    rng = np.random.RandomState(7)
+    words = ["cat", "dog", "stop sign", "two", "coca cola", "unanswerable"]
+    preds = [
+        {
+            "pred_answer": words[rng.randint(len(words))],
+            "gt_answers": [words[rng.randint(len(words))] for _ in range(10)],
+        }
+        for _ in range(25)
+    ]
+    ref_acc, ref_scores = ref_wrap.evaluator.eval_pred_list(preds)
+    our_acc, our_scores = OCRVQAAccuracyEvaluator().eval_pred_list(preds)
+    assert our_acc == pytest.approx(ref_acc)
+    assert our_scores == pytest.approx(ref_scores)
+
+    from sam_textvqa_tpu.evaluation.evaluator import METRIC_EVALUATORS
+
+    assert METRIC_EVALUATORS["ocrvqa"] is OCRVQAAccuracyEvaluator
+
+
+def test_needed_ocr_width():
+    from sam_textvqa_tpu.evaluation.evaluator import needed_ocr_width
+
+    batch_mask = np.zeros((4, 10), np.float32)
+    batch_mask[1, 6] = 1.0
+    batch_mask[3, 2] = 1.0
+    assert needed_ocr_width(batch_mask) == 7            # (B, N) batch view
+    assert needed_ocr_width(batch_mask[3]) == 3         # (N,) sample view
+    assert needed_ocr_width(np.zeros((4, 10))) == 0     # fully padded

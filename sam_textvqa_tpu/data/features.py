@@ -90,13 +90,12 @@ def rebase_image_id(image_id: str, sample_id: str) -> str:
     return image_id
 
 
-class LmdbFeatureSource(FeatureSource):
-    """Reads the reference LMDB layout: pickled ``{features, boxes,
-    image_h, image_w}`` per image-id key plus a pickled ``keys`` entry
-    (reference _image_features_reader.py:66-76, 130-170)."""
+class _PyLmdbKV:
+    """``get(key) -> bytes | None`` over the py-lmdb package (opened with
+    the reference's exact flags, _image_features_reader.py:66-73)."""
 
     def __init__(self, path: str):
-        import lmdb  # optional native dep
+        import lmdb
 
         self.env = lmdb.open(
             path,
@@ -106,8 +105,32 @@ class LmdbFeatureSource(FeatureSource):
             readahead=False,
             meminit=False,
         )
+
+    def get(self, key: bytes):
         with self.env.begin(write=False) as txn:
-            keys = pickle.loads(txn.get(b"keys"))
+            return txn.get(key)
+
+
+def open_lmdb_kv(path: str):
+    """Key-value view of an LMDB environment: py-lmdb when installed,
+    otherwise the pure-Python reader over the raw data.mdb bytes
+    (data/lmdb_io.py) — same on-disk format either way."""
+    try:
+        return _PyLmdbKV(path)
+    except ImportError:
+        from .lmdb_io import MiniLmdbReader
+
+        return MiniLmdbReader(path)
+
+
+class LmdbFeatureSource(FeatureSource):
+    """Reads the reference LMDB layout: pickled ``{features, boxes,
+    image_h, image_w}`` per image-id key plus a pickled ``keys`` entry
+    (reference _image_features_reader.py:66-76, 130-170)."""
+
+    def __init__(self, path: str):
+        self.kv = open_lmdb_kv(path)
+        keys = pickle.loads(self.kv.get(b"keys"))
         self._image_ids = set(keys)
         # first stored key donates the path root for scene-text / ocr-vqa
         # id rebasing (reference _image_features_reader.py:94-117)
@@ -120,8 +143,7 @@ class LmdbFeatureSource(FeatureSource):
         return self._resolve(image_id) in self._image_ids
 
     def get(self, image_id: str) -> Tuple[np.ndarray, np.ndarray]:
-        with self.env.begin(write=False) as txn:
-            item = pickle.loads(txn.get(self._resolve(image_id)))
+        item = pickle.loads(self.kv.get(self._resolve(image_id)))
         features = np.asarray(item["features"], np.float32).reshape(-1, 2048)
         boxes = np.asarray(item["boxes"], np.float32).reshape(-1, 4)
         return features, normalize_boxes(

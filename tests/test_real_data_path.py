@@ -79,6 +79,59 @@ def _config(tmp_path, feat_dir, ocr_dir, vocab):
     return str(path)
 
 
+def _npz_dir_to_lmdb(npz_dir, out_path):
+    """Convert a directory of <image_id>.npz fixtures into the reference's
+    shipping LMDB layout (actual data.mdb bytes)."""
+    from sam_textvqa_tpu.data.lmdb_io import write_reference_feature_lmdb
+
+    images = {}
+    for name in os.listdir(npz_dir):
+        if not name.endswith(".npz"):
+            continue
+        with np.load(os.path.join(npz_dir, name)) as z:
+            images[name[:-4].replace("__", "/")] = {
+                "features": z["features"],
+                "boxes": z["boxes"],
+                "image_w": float(z["image_w"]),
+                "image_h": float(z["image_h"]),
+            }
+    write_reference_feature_lmdb(str(out_path), images)
+    return out_path
+
+
+@pytest.mark.slow
+def test_train_on_real_lmdb_files(tmp_path):
+    """The LMDB dress rehearsal: the same generated imdb .npy pipeline, but
+    features packed into ACTUAL LMDB environments (real data.mdb bytes in
+    the reference's serialized layout, reference
+    _image_features_reader.py:66-188) and driven through `python train.py`
+    with zero code changes — the config just points at the .lmdb dirs."""
+    feat_dir, ocr_dir, vocab = _make_data(tmp_path)
+    for fmt in ("trainval", "test"):
+        _npz_dir_to_lmdb(feat_dir, tmp_path / f"obj_{fmt}")
+        _npz_dir_to_lmdb(ocr_dir, tmp_path / f"ocr_{fmt}")
+    cfg_path = _config(tmp_path, feat_dir, ocr_dir, vocab)
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["textvqa_obj"] = str(tmp_path / "obj_{}")
+    cfg["textvqa_ocr"] = str(tmp_path / "ocr_{}")
+    open(cfg_path, "w").write(yaml.safe_dump(cfg))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "train.py", "--config", cfg_path, "--tag", "lmdbpath",
+         "--max_steps", "2", "--num_train_epochs", "1"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    save_dir = tmp_path / "save" / "lmdbpath"
+    preds = json.loads((save_dir / "evalai_val.json").read_text())
+    assert len(preds) == 10
+    assert all(isinstance(p["answer"], str) for p in preds)
+
+
 @pytest.mark.slow
 def test_train_on_generated_files(tmp_path):
     feat_dir, ocr_dir, vocab = _make_data(tmp_path)

@@ -47,6 +47,10 @@ DECODE = os.environ.get("BENCH_DECODE", "auto")
 # batches through (sequence-length bucketing; answers identical, see
 # SCALING.md). The full-width default is 50.
 OCR_SLOTS = int(os.environ.get("BENCH_OCR", "0"))
+# BENCH_OBJ: same for max_obj_num — the obj-axis rung that
+# Evaluator.run_split(obj_bucket=N) routes through (full default 100);
+# composes with BENCH_OCR to measure a (obj, ocr) grid cell.
+OBJ_SLOTS = int(os.environ.get("BENCH_OBJ", "0"))
 # BENCH_DROPOUT_REUSE=1 enables per-site-type dropout mask reuse across
 # the 6 MMT layers (config.dropout_mask_reuse): +5.6% throughput, but the
 # loss-curve A/B showed the correlated masks measurably weaken
@@ -132,13 +136,18 @@ def main():
             mmt=dataclasses.replace(cfg.mmt, **mmt_kw),
             text_bert=dataclasses.replace(cfg.text_bert, **tb_kw),
         )
-    if OCR_SLOTS:
+    if OCR_SLOTS or OBJ_SLOTS:
         import dataclasses
 
         if MODE not in ("eval", "beam"):
-            raise SystemExit("BENCH_OCR applies to MODE=eval/beam only")
+            raise SystemExit("BENCH_OCR/BENCH_OBJ apply to MODE=eval/beam only")
+        repl = {}
+        if OCR_SLOTS:
+            repl["max_ocr_num"] = OCR_SLOTS
+        if OBJ_SLOTS:
+            repl["max_obj_num"] = OBJ_SLOTS
         cfg = dataclasses.replace(
-            cfg, mmt=dataclasses.replace(cfg.mmt, max_ocr_num=OCR_SLOTS)
+            cfg, mmt=dataclasses.replace(cfg.mmt, **repl)
         )
     num_answers = 5000
     model = SAM4C(

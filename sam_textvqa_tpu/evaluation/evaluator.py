@@ -87,15 +87,19 @@ DECODE_KEYS = (
 )
 
 
-def needed_ocr_width(pad_ocr_mask) -> int:
-    """Narrowest OCR width that holds every real token: last nonzero mask
+def needed_width(pad_mask) -> int:
+    """Narrowest slot width that holds every real token: last nonzero mask
     column + 1 (0 when fully padded). Accepts a (B, N) batch mask or a
     single (N,) sample mask. The shared routing primitive behind the
-    evaluator's and the serving engine's width ladders."""
-    m = np.asarray(pad_ocr_mask)
+    evaluator's and the serving engine's width ladders (OCR and obj)."""
+    m = np.asarray(pad_mask)
     m = m.reshape(-1, m.shape[-1])
     used = np.flatnonzero(m.any(axis=0))
     return int(used[-1]) + 1 if used.size else 0
+
+
+#: OCR-named alias kept for the serving engine / external callers
+needed_ocr_width = needed_width
 
 
 def shrink_ocr_batch(batch: Dict, n_obj: int, n_small: int) -> Dict:
@@ -115,6 +119,24 @@ def shrink_ocr_batch(batch: Dict, n_obj: int, n_small: int) -> Dict:
         out[k] = batch[k][:, :n_small]
     vis = n_obj + n_small
     out["spatial_classes"] = batch["spatial_classes"][:, :vis, :vis]
+    return out
+
+
+def shrink_obj_batch(batch: Dict, n_obj: int, n_small: int) -> Dict:
+    """Slice every obj-width array (and the obj rows/cols of the visual
+    spatial matrix) down to ``n_small`` slots. Exactness mirrors
+    ``shrink_ocr_batch``: dropped slots carry the -10000 additive bias
+    (softmax weight exactly 0.0 in f32), obj tokens are never indexed by
+    position in any output (only the OCR block feeds the pointer net), and
+    the spatial bitmasks are pairwise — slicing keeps every kept-pair
+    entry. ``batch`` may already be OCR-shrunk: the OCR block is whatever
+    follows the first ``n_obj`` rows of ``spatial_classes``."""
+    out = dict(batch)
+    for k in ("pad_obj_features", "pad_obj_mask", "pad_obj_bboxes"):
+        out[k] = batch[k][:, :n_small]
+    sc = batch["spatial_classes"]
+    keep = np.r_[0:n_small, n_obj:sc.shape[-1]]
+    out["spatial_classes"] = np.ascontiguousarray(sc[:, keep][:, :, keep])
     return out
 
 
@@ -172,14 +194,14 @@ class Evaluator:
             self._greedy[key] = fn
         return self._greedy[key]
 
-    def _ocr_bucket_model(self, n_small: int):
-        """Same weights, narrower OCR width — a (170 - 50 + n_small)-token
-        executable. Static-shape bucketing: the TPU answer to the dynamic
-        shapes the reference never needed to care about on GPU (see
-        models.sa_m4c.with_ocr_width)."""
-        from ..models.sa_m4c import with_ocr_width
+    def _bucket_model(self, obj_w: Optional[int], ocr_w: Optional[int]):
+        """Same weights, narrower obj/OCR widths (None = full) — a
+        shorter-sequence executable. Static-shape bucketing: the TPU answer
+        to the dynamic shapes the reference never needed to care about on
+        GPU (see models.sa_m4c.with_widths)."""
+        from ..models.sa_m4c import with_widths
 
-        return with_ocr_width(self.model, n_small)
+        return with_widths(self.model, n_obj=obj_w, n_ocr=ocr_w)
 
     def _transfer_batch(self, batch):
         """Host batch -> device arrays, shipping only DECODE_KEYS and
@@ -196,43 +218,73 @@ class Evaluator:
         # serving engine", rule 1)
         return jax.device_put(picked)
 
-    def _bucket_ladder(self, ocr_bucket, make_fn):
-        """Normalize ``ocr_bucket`` (int or sequence of ints) into an
-        ascending list of (width, fn) rungs via ``make_fn(width)``.
-
-        Single-controller only: routing reads the process-local
-        ``pad_ocr_mask``, so under multi-host DP different processes could
-        pick different widths for the same global step and trace different
-        executables, desyncing collectives. Guarded here rather than at the
-        call sites so every ladder user inherits it."""
-        if ocr_bucket is None:
-            return []
-        if jax.process_count() > 1:
-            raise ValueError(
-                "ocr_bucket width ladders route on the host-local OCR mask "
-                "and require a single-process (single-controller) runtime; "
-                f"got jax.process_count()={jax.process_count()}"
-            )
+    @staticmethod
+    def _normalize_ladder(bucket, max_width, axis: str):
+        """``bucket`` (None, int, or sequence of ints) -> ascending tuple of
+        rung widths, validated against the model's full ``max_width``."""
+        if bucket is None:
+            return ()
         widths = (
-            (ocr_bucket,)
-            if isinstance(ocr_bucket, (int, np.integer))
-            else tuple(ocr_bucket)
+            (bucket,)
+            if isinstance(bucket, (int, np.integer))
+            else tuple(bucket)
         )
-        ladder = []
-        for w in sorted({int(w) for w in widths}):
-            assert 0 < w < self.model.params_cfg.mmt.max_ocr_num, w
-            ladder.append((w, make_fn(w)))
+        ladder = tuple(sorted({int(w) for w in widths}))
+        for w in ladder:
+            assert 0 < w < max_width, f"{axis} rung {w} vs full {max_width}"
         return ladder
 
-    def _route_bucket(self, batch, buckets, n_obj, full_fn):
-        """Pick the narrowest ladder rung that holds every real OCR token
-        in ``batch`` (fall back to ``full_fn``); returns (batch, fn)."""
-        if buckets:
-            needed = needed_ocr_width(batch["pad_ocr_mask"])
-            for w, small_fn in buckets:
-                if needed <= w:
-                    return self._shrink_ocr(batch, n_obj, w), small_fn
-        return batch, full_fn
+    def _width_grid(self, obj_bucket, ocr_bucket, make_fn):
+        """Normalize the two ladders and build the (obj_w, ocr_w) -> fn
+        routing grid via ``make_fn(obj_w, ocr_w)`` (None = full width on
+        that axis; the (None, None) cell is the caller's full fn). jit
+        compiles lazily, so grid cells no batch ever routes to cost
+        nothing.
+
+        Single-controller only: routing reads the process-local pad masks,
+        so under multi-host DP different processes could pick different
+        widths for the same global step and trace different executables,
+        desyncing collectives. Guarded here rather than at the call sites
+        so every ladder user inherits it."""
+        mmt = self.model.params_cfg.mmt
+        obj_l = self._normalize_ladder(obj_bucket, mmt.max_obj_num, "obj")
+        ocr_l = self._normalize_ladder(ocr_bucket, mmt.max_ocr_num, "ocr")
+        if (obj_l or ocr_l) and jax.process_count() > 1:
+            raise ValueError(
+                "width ladders route on host-local pad masks and require a "
+                "single-process (single-controller) runtime; got "
+                f"jax.process_count()={jax.process_count()}"
+            )
+        grid = {
+            (ow, cw): make_fn(ow, cw)
+            for ow in (*obj_l, None)
+            for cw in (*ocr_l, None)
+            if (ow, cw) != (None, None)
+        }
+        return obj_l, ocr_l, grid
+
+    def _route_widths(self, batch, obj_l, ocr_l, grid, full_fn):
+        """Pick the narrowest (obj, ocr) grid cell that holds every real
+        token in ``batch`` (None = full on that axis; fall back to
+        ``full_fn``), shrink the batch to it; returns (batch, fn)."""
+        n_obj = self.model.params_cfg.mmt.max_obj_num
+
+        def pick(ladder, mask_key):
+            need = needed_width(batch[mask_key]) if ladder else None
+            for w in ladder:
+                if need <= w:
+                    return w
+            return None
+
+        obj_w = pick(obj_l, "pad_obj_mask")
+        ocr_w = pick(ocr_l, "pad_ocr_mask")
+        if (obj_w, ocr_w) == (None, None):
+            return batch, full_fn
+        if ocr_w is not None:
+            batch = shrink_ocr_batch(batch, n_obj, ocr_w)
+        if obj_w is not None:
+            batch = shrink_obj_batch(batch, n_obj, obj_w)
+        return batch, grid[(obj_w, ocr_w)]
 
     # sequence-length slicing shared with the serving engine
     _shrink_ocr = staticmethod(shrink_ocr_batch)
@@ -244,6 +296,7 @@ class Evaluator:
         device_put=None,
         gt_answers_by_qid: Optional[Dict[int, List[str]]] = None,
         ocr_bucket=None,
+        obj_bucket=None,
     ) -> Dict:
         """Greedy-decode every batch; returns accuracy + EvalAI predictions.
 
@@ -258,12 +311,17 @@ class Evaluator:
         that holds every real OCR token in the batch, falling back to the
         full width (identical answers — see ``_shrink_ocr``). jit compiles
         lazily, so ladder rungs no batch ever needs cost nothing.
+
+        ``obj_bucket``: same ladder on the obj-region axis (detectron box
+        slots); composes with ``ocr_bucket`` as a routing grid.
         """
         greedy = self._greedy_fn()
-        n_obj = self.model.params_cfg.mmt.max_obj_num
-        buckets = self._bucket_ladder(
+        obj_l, ocr_l, grid = self._width_grid(
+            obj_bucket,
             ocr_bucket,
-            lambda w: self._greedy_fn(self._ocr_bucket_model(w), cache_tag=w),
+            lambda ow, cw: self._greedy_fn(
+                self._bucket_model(ow, cw), cache_tag=(ow, cw)
+            ),
         )
         all_preds: List[Dict] = []
         scored_preds: List[Dict] = []
@@ -297,7 +355,7 @@ class Evaluator:
         def dispatch(batch):
             host_only = {k: v for k, v in batch.items() if k.startswith("_")}
             qids = _batch_qids(batch, host_only)
-            batch, fn = self._route_bucket(batch, buckets, n_obj, greedy)
+            batch, fn = self._route_widths(batch, obj_l, ocr_l, grid, greedy)
             device_batch = self._transfer_batch(batch)
             if device_put is not None:
                 device_batch = device_put(device_batch)
@@ -336,6 +394,7 @@ class Evaluator:
         early_exit: bool = False,
         device_put=None,
         ocr_bucket=None,
+        obj_bucket=None,
     ) -> Dict:
         """Beam-search decode with the reference's full result schema.
 
@@ -346,9 +405,10 @@ class Evaluator:
         headline answer. Both the VQA soft metric and ANLS are reported
         (reference :88-93).
 
-        ``ocr_bucket``: same sequence-length bucketing as ``run_split`` —
-        an int or ladder of OCR widths; each batch beam-decodes on the
-        narrowest executable that fits (identical answers)."""
+        ``ocr_bucket`` / ``obj_bucket``: same sequence-length bucketing as
+        ``run_split`` — int or ladder of widths per axis; each batch
+        beam-decodes on the narrowest executable that fits (identical
+        answers)."""
         from ..models.beam_search import beam_search_decode
         from ..models.fast_decode import beam_search_decode_fast
 
@@ -371,9 +431,10 @@ class Evaluator:
             return beam_fn
 
         beam_fn = make_beam_fn(self.model)
-        n_obj = self.model.params_cfg.mmt.max_obj_num
-        buckets = self._bucket_ladder(
-            ocr_bucket, lambda w: make_beam_fn(self._ocr_bucket_model(w))
+        obj_l, ocr_l, grid = self._width_grid(
+            obj_bucket,
+            ocr_bucket,
+            lambda ow, cw: make_beam_fn(self._bucket_model(ow, cw)),
         )
 
         all_preds: List[Dict] = []
@@ -424,7 +485,7 @@ class Evaluator:
         def dispatch(batch):
             host_only = {k: v for k, v in batch.items() if k.startswith("_")}
             qids = _batch_qids(batch, host_only)
-            batch, fn = self._route_bucket(batch, buckets, n_obj, beam_fn)
+            batch, fn = self._route_widths(batch, obj_l, ocr_l, grid, beam_fn)
             device_batch = self._transfer_batch(batch)
             if device_put is not None:
                 # sharded placement hook (e.g. a DP x TP mesh) — the beam

@@ -58,22 +58,37 @@ class SimpleClassifier(nn.Module):
         return Dense(self.out_dim, dtype=self.dtype, name="dense1")(x)
 
 
-def with_ocr_width(model: "SAM4C", n_small: int) -> "SAM4C":
-    """The SAME weights compiled at a narrower OCR width: no parameter
-    depends on the slot count (Dense weights are per-feature, decoder
-    position embeddings cover only the decode steps), so inputs whose rows
-    all carry <= n_small OCR tokens can run a shorter-sequence executable.
-    Used by the evaluator's and serving engine's sequence-length bucketing
-    (SCALING.md); exactness argument in Evaluator._shrink_ocr."""
+def with_widths(
+    model: "SAM4C",
+    n_obj: Optional[int] = None,
+    n_ocr: Optional[int] = None,
+) -> "SAM4C":
+    """The SAME weights compiled at narrower obj/OCR slot counts (None =
+    keep full width): no parameter depends on either slot count (Dense
+    weights are per-feature, decoder position embeddings cover only the
+    decode steps), so inputs whose rows all fit the narrow widths can run a
+    shorter-sequence executable. Used by the evaluator's and serving
+    engine's sequence-length bucketing (SCALING.md); exactness argument in
+    evaluation.evaluator.shrink_ocr_batch / shrink_obj_batch."""
     import dataclasses
 
     pc = model.params_cfg
-    small = pc._replace(mmt=dataclasses.replace(pc.mmt, max_ocr_num=n_small))
+    repl = {}
+    if n_obj is not None:
+        repl["max_obj_num"] = n_obj
+    if n_ocr is not None:
+        repl["max_ocr_num"] = n_ocr
+    small = pc._replace(mmt=dataclasses.replace(pc.mmt, **repl))
     return type(model)(
         params_cfg=small,
         dtype=model.dtype,
         attention_backend=model.attention_backend,
     )
+
+
+def with_ocr_width(model: "SAM4C", n_small: int) -> "SAM4C":
+    """``with_widths`` on the OCR axis only (the serving engine's rung)."""
+    return with_widths(model, n_ocr=n_small)
 
 
 class SAM4C(nn.Module):

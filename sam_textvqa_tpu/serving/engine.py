@@ -148,6 +148,10 @@ class ServingStats:
     #: OCR-width rung -> batches routed there (only when ocr_buckets is set)
     ocr_width_occupancy: Dict[int, int] = field(default_factory=dict)
     latencies_ms: deque = field(default_factory=lambda: deque(maxlen=4096))
+    #: bucket size -> rolling end-to-end latencies of requests that rode a
+    #: batch of that bucket (SLO attribution: big buckets amortize decode
+    #: across rows but wait longer to coalesce)
+    latencies_ms_by_bucket: Dict[int, deque] = field(default_factory=dict)
     #: dispatch -> answered, per batch: the transfer+decode+fetch service
     #: time, free of queueing (under a closed-loop flood latencies_ms is
     #: dominated by queue time; this is the serving-capacity number)
@@ -162,6 +166,10 @@ class ServingStats:
     def summary(self) -> Dict:
         with self.lock:
             lat = np.asarray(self.latencies_ms, np.float64)
+            by_bucket = {
+                b: np.asarray(d, np.float64)
+                for b, d in sorted(self.latencies_ms_by_bucket.items())
+            }
             svc = np.asarray(self.service_ms, np.float64)
             requests = self.requests
             out = {
@@ -186,9 +194,20 @@ class ServingStats:
         if lat.size:
             out.update(
                 latency_ms_p50=float(np.percentile(lat, 50)),
+                latency_ms_p95=float(np.percentile(lat, 95)),
                 latency_ms_p99=float(np.percentile(lat, 99)),
                 latency_ms_mean=float(lat.mean()),
             )
+        if by_bucket:
+            out["latency_ms_by_bucket"] = {
+                int(b): {
+                    "n": int(v.size),
+                    "p50": float(np.percentile(v, 50)),
+                    "p95": float(np.percentile(v, 95)),
+                    "p99": float(np.percentile(v, 99)),
+                }
+                for b, v in by_bucket.items()
+            }
         if svc.size:
             out.update(
                 service_ms_per_batch_p50=float(np.percentile(svc, 50)),
@@ -633,13 +652,17 @@ class ServingEngine:
                     self.special.eos,
                 )
                 now = time.monotonic()
+                bucket = int(ids.shape[0])  # rows incl. coalesce padding
                 with self.stats.lock:
                     self.stats.requests += len(group)
                     self.stats.service_ms.append((now - t_disp) * 1000.0)
+                    per_bucket = self.stats.latencies_ms_by_bucket.setdefault(
+                        bucket, deque(maxlen=4096)
+                    )
                     for g in group:
-                        self.stats.latencies_ms.append(
-                            (now - g.t_submit) * 1000.0
-                        )
+                        ms = (now - g.t_submit) * 1000.0
+                        self.stats.latencies_ms.append(ms)
+                        per_bucket.append(ms)
                 for g, d in zip(group, decoded):
                     g.set_result(
                         {

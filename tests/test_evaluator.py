@@ -162,7 +162,8 @@ def test_run_split_ocr_bucket_identical(setup):
     assert got["predictions"] == want["predictions"]
     assert got["accuracy"] == want["accuracy"]
     # the bucket executable really was compiled (and the full one kept)
-    assert (True, "auto", 3) in ev._greedy and (True, "auto", None) in ev._greedy
+    assert (True, "auto", (None, 3)) in ev._greedy
+    assert (True, "auto", None) in ev._greedy
 
 
 def test_run_split_ocr_bucket_ladder(setup):
@@ -186,8 +187,91 @@ def test_run_split_ocr_bucket_ladder(setup):
     assert got["predictions"] == want["predictions"]
     assert got["accuracy"] == want["accuracy"]
     # every rung (and the full-width fallback) really ran
-    for tag in (2, 4, None):
+    for tag in ((None, 2), (None, 4), None):
         assert (True, "auto", tag) in ev._greedy
+
+
+def test_run_split_obj_bucket_identical(setup):
+    """run_split(obj_bucket=[3, 5]) — the obj-axis analogue of the OCR
+    ladder: batches whose rows all carry <= rung real obj boxes route
+    through a narrower executable with IDENTICAL predictions (same -10000
+    masked-softmax argument; obj tokens are never position-indexed in any
+    output). Only the MASK is truncated — dropped slots keep random
+    features. Rows 0-3 fit 3 boxes, 4-7 fit 5, 8-11 need full width."""
+    task, model, vocab, ds, params = setup
+    ds2 = SyntheticDataset(task, 12, num_answers_vocab=len(vocab))
+    ds2.pool["pad_obj_mask"][:4, 3:] = 0.0
+    ds2.pool["pad_obj_mask"][4:8, 5:] = 0.0
+    ds2.pool["pad_obj_mask"][8:, :] = 1.0  # force full-width fallback
+
+    want = Evaluator(model, vocab).run_split(
+        params, EpochBatcher(ds2, 4, shuffle=False).epoch_batches()
+    )
+    ev = Evaluator(model, vocab)
+    got = ev.run_split(
+        params, EpochBatcher(ds2, 4, shuffle=False).epoch_batches(),
+        obj_bucket=[5, 3],  # unsorted on purpose — normalized ascending
+    )
+    assert got["predictions"] == want["predictions"]
+    assert got["accuracy"] == want["accuracy"]
+    for tag in ((3, None), (5, None), None):
+        assert (True, "auto", tag) in ev._greedy
+
+
+def test_run_split_obj_and_ocr_grid_identical(setup):
+    """Both ladders at once: run_split(obj_bucket=4, ocr_bucket=3) routes
+    each batch to the narrowest (obj, ocr) GRID cell that fits — including
+    the both-axes-shrunk cell — with identical predictions."""
+    task, model, vocab, ds, params = setup
+    ds2 = SyntheticDataset(task, 12, num_answers_vocab=len(vocab))
+    # batch 0: both axes fit; batch 1: only obj fits; batch 2: neither
+    ds2.pool["pad_obj_mask"][:8, 4:] = 0.0
+    ds2.pool["pad_ocr_mask"][:4, 3:] = 0.0
+    ds2.pool["pad_ocr_mask"][4:, :] = 1.0
+    ds2.pool["pad_obj_mask"][8:, :] = 1.0
+
+    want = Evaluator(model, vocab).run_split(
+        params, EpochBatcher(ds2, 4, shuffle=False).epoch_batches()
+    )
+    ev = Evaluator(model, vocab)
+    got = ev.run_split(
+        params, EpochBatcher(ds2, 4, shuffle=False).epoch_batches(),
+        obj_bucket=4, ocr_bucket=3,
+    )
+    assert got["predictions"] == want["predictions"]
+    assert got["accuracy"] == want["accuracy"]
+    for tag in ((4, 3), (4, None), None):
+        assert (True, "auto", tag) in ev._greedy
+
+
+def test_run_split_beam_obj_bucket_identical(setup):
+    """Beam decode through the obj ladder: full per-beam schema must match
+    the full-width run (selections identical; see the OCR-beam test for
+    the one-ulp CPU score caveat)."""
+    task, model, vocab, ds, params = setup
+    ds2 = SyntheticDataset(task, 12, num_answers_vocab=len(vocab))
+    ds2.pool["pad_obj_mask"][:8, 4:] = 0.0
+
+    want = Evaluator(model, vocab).run_split_beam(
+        params, EpochBatcher(ds2, 4, shuffle=False).epoch_batches(), 2
+    )
+    got = Evaluator(model, vocab).run_split_beam(
+        params, EpochBatcher(ds2, 4, shuffle=False).epoch_batches(), 2,
+        obj_bucket=4,
+    )
+    assert got["accuracy"] == want["accuracy"]
+    assert [p["pred_answer"] for p in got["predictions"]] == [
+        p["pred_answer"] for p in want["predictions"]
+    ]
+    assert [p["best_beam"] for p in got["predictions"]] == [
+        p["best_beam"] for p in want["predictions"]
+    ]
+    for a, b in zip(got["predictions"], want["predictions"]):
+        for ba, bb in zip(a["beams"], b["beams"]):
+            assert ba["pred_ids"] == bb["pred_ids"]
+            np.testing.assert_allclose(
+                ba["topkscore"], bb["topkscore"], rtol=0, atol=1e-5
+            )
 
 
 def test_run_split_beam_ocr_bucket_identical(setup):
@@ -338,10 +422,23 @@ def test_run_split_beam_sharded_device_put_matches(setup):
 
 def test_bucket_ladder_accepts_numpy_int(setup):
     """Configs and benchmark harnesses often carry numpy integer scalars;
-    _bucket_ladder must treat np.int64(3) as a single width, not iterate it."""
+    ladder normalization must treat np.int64(3) as a single width, not
+    iterate it."""
     task, model, vocab, ds, params = setup
     ev = Evaluator(model, vocab)
-    ladder = ev._bucket_ladder(np.int64(3), lambda w: ("fn", w))
-    assert ladder == [(3, ("fn", 3))]
-    assert ev._bucket_ladder([np.int64(4), 2], lambda w: w) == [(2, 2), (4, 4)]
-    assert ev._bucket_ladder(None, lambda w: w) == []
+    assert ev._normalize_ladder(np.int64(3), 50, "ocr") == (3,)
+    assert ev._normalize_ladder([np.int64(4), 2], 50, "ocr") == (2, 4)
+    assert ev._normalize_ladder(None, 50, "ocr") == ()
+
+
+def test_width_grid_cells(setup):
+    """_width_grid enumerates every (obj, ocr) rung combo except the full
+    (None, None) cell, which stays the caller's full fn."""
+    task, model, vocab, ds, params = setup
+    ev = Evaluator(model, vocab)
+    obj_l, ocr_l, grid = ev._width_grid([6, 4], 3, lambda ow, cw: (ow, cw))
+    assert obj_l == (4, 6) and ocr_l == (3,)
+    assert set(grid) == {(4, 3), (6, 3), (None, 3), (4, None), (6, None)}
+    # ocr-only ladder: the legacy single-axis shape
+    obj_l, ocr_l, grid = ev._width_grid(None, [2, 4], lambda ow, cw: (ow, cw))
+    assert obj_l == () and set(grid) == {(None, 2), (None, 4)}

@@ -79,7 +79,14 @@ def test_serving_answers_match_offline_eval(setup):
     s = engine.stats.summary()
     assert s["requests"] == 12
     assert s["throughput_qps"] > 0
-    assert "latency_ms_p99" in s
+    assert "latency_ms_p99" in s and "latency_ms_p95" in s
+    # per-bucket SLO attribution: every answered request is accounted to
+    # exactly one bucket, with ordered percentiles
+    per = s["latency_ms_by_bucket"]
+    assert set(per) <= {1, 4}
+    assert sum(v["n"] for v in per.values()) == 12
+    for v in per.values():
+        assert 0.0 <= v["p50"] <= v["p95"] <= v["p99"]
 
 
 def test_serving_ocr_bucket_ladder_same_answers(setup):

@@ -65,6 +65,13 @@ def get_args():
         "(identical answers; sequence-length bucketing, SCALING.md)",
     )
     parser.add_argument(
+        "--obj_bucket", type=lambda s: [int(x) for x in s.split(",") if x],
+        default=None, metavar="N[,N...]",
+        help="pretrained-eval only: the --ocr_bucket ladder on the obj "
+        "(detectron box) axis; composes with --ocr_bucket as a routing "
+        "grid (identical answers)",
+    )
+    parser.add_argument(
         "--decode_backend",
         choices=["auto", "xla", "xla_early", "xla_flat", "fused", "mega"],
         default="auto",
@@ -395,12 +402,13 @@ def main():
                 result = evaluator.run_split_beam(
                     params, batcher.epoch_batches(), args.beam_size,
                     gt_answers_by_qid=gt, ocr_bucket=args.ocr_bucket,
+                    obj_bucket=args.obj_bucket,
                 )
                 name = f"evalai_{split}_beam_{args.beam_size}.json"
             else:
                 result = evaluator.run_split(
                     params, batcher.epoch_batches(), gt_answers_by_qid=gt,
-                    ocr_bucket=args.ocr_bucket,
+                    ocr_bucket=args.ocr_bucket, obj_bucket=args.obj_bucket,
                 )
                 name = f"evalai_{split}.json"
             evaluator.dump_evalai(result, os.path.join(out_dir, name))

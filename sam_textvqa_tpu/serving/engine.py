@@ -241,7 +241,14 @@ class ServingEngine:
         answers; same slicing as the offline evaluator's ``--ocr_bucket``).
         ``warmup`` pre-compiles the full (batch-bucket x width) grid.
       max_wait_ms: coalescing window after the first queued request.
-      decode_backend: models.fast_decode backend ("auto" = XLA, fastest).
+      decode_backend: models.fast_decode backend ("auto" = XLA, fastest),
+        or "policy" — the measured early-exit x bucket-size operator rule
+        (SCALING.md "Serving latency SLOs") applied per batch shape:
+        bucket-1 batches run the fixed-step "xla" executable (decode is
+        cheaper than dispatch jitter there), larger buckets run
+        "xla_early" (identical answers by contract; ~25-30% service-time
+        win on trained checkpoints). Each shape still compiles exactly
+        one executable — the one the policy picks for it.
       device_put: optional callable mapping a host batch dict to device
         arrays (e.g. a sharded placement for a TP mesh); default is one
         ``jax.device_put`` of the whole batch pytree (see ``_place``).
@@ -344,6 +351,28 @@ class ServingEngine:
                     seqs, best[:, None, None], axis=1
                 )[:, 0, 1:]  # drop BOS, like the beam evaluator
                 return scores, pred
+
+            return fn
+
+        if backend == "policy":
+            # one executable per shape either way: jit specializes on the
+            # leading (bucket) dim, and the host-side pick below is a pure
+            # function of that dim, so warmup compiles exactly the grid a
+            # static backend would
+            fixed = jax.jit(
+                lambda params, b: greedy_decode_fast(
+                    model, params, b, bos, backend="xla", eos_idx=eos
+                )
+            )
+            early = jax.jit(
+                lambda params, b: greedy_decode_fast(
+                    model, params, b, bos, backend="xla_early", eos_idx=eos
+                )
+            )
+
+            def fn(params, device_batch):
+                rows = device_batch["question_indices"].shape[0]
+                return (fixed if rows == 1 else early)(params, device_batch)
 
             return fn
 

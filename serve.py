@@ -60,8 +60,12 @@ def get_args():
     p.add_argument("--max_wait_ms", type=float, default=2.0)
     p.add_argument(
         "--decode_backend",
-        choices=["auto", "xla", "xla_early", "xla_flat", "fused", "mega"],
+        choices=["auto", "xla", "xla_early", "xla_flat", "fused", "mega",
+                 "policy"],
         default="auto",
+        help="greedy decode backend; 'policy' applies the measured "
+        "early-exit x bucket-size rule per batch shape (bucket-1 -> "
+        "fixed xla, larger buckets -> xla_early; SCALING.md)",
     )
     p.add_argument("--demo", type=int, default=0,
                    help="submit N synthetic requests and print stats")

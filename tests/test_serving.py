@@ -602,3 +602,49 @@ def test_engine_xla_early_backend_matches_default(setup):
         got = [f.result(timeout=60)["answer"]
                for f in early.submit_many(samples)]
     assert got == want
+
+
+def test_engine_policy_backend_routes_by_bucket(setup, monkeypatch):
+    """decode_backend="policy" applies the measured operator rule per batch
+    shape (SCALING.md "Serving latency SLOs"): bucket-1 batches trace the
+    fixed-step "xla" executable, larger buckets trace "xla_early" — and the
+    answers match the default engine exactly (early exit is bit-identical
+    by contract)."""
+    task, model, vocab, ds, params = setup
+    samples = _samples_from_dataset(ds, 5)
+
+    plain = ServingEngine(
+        model, params, vocab, buckets=(1, 4), max_wait_ms=20.0
+    )
+    plain.warmup()
+    with plain:
+        want = [f.result(timeout=60)["answer"]
+                for f in plain.submit_many(samples)]
+
+    import sam_textvqa_tpu.models.fast_decode as fd
+
+    traced = []  # (backend, rows) at trace time — one entry per executable
+    real = fd.greedy_decode_fast
+
+    def spy(model_, params_, batch, bos, backend="auto", eos_idx=None):
+        traced.append((backend, batch["question_indices"].shape[0]))
+        return real(model_, params_, batch, bos,
+                    backend=backend, eos_idx=eos_idx)
+
+    monkeypatch.setattr(fd, "greedy_decode_fast", spy)
+    policy = ServingEngine(
+        model, params, vocab, buckets=(1, 4), max_wait_ms=20.0,
+        decode_backend="policy",
+    )
+    policy.warmup()
+    with policy:
+        # one solo request (bucket 1) + a coalesced group (bucket 4)
+        first = policy.submit(samples[0]).result(timeout=60)["answer"]
+        rest = [f.result(timeout=60)["answer"]
+                for f in policy.submit_many(samples[1:])]
+    assert [first] + rest == want
+
+    by_backend = {}
+    for backend, rows in traced:
+        by_backend.setdefault(backend, set()).add(rows)
+    assert by_backend == {"xla": {1}, "xla_early": {4}}, traced

@@ -1,0 +1,61 @@
+"""Unit tests for tools/suggest_ladder.py's rung-selection math (the pure
+functions; the CLI is exercised manually — it just wires these to
+train.build_datasets)."""
+
+import importlib.util
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load():
+    spec = importlib.util.spec_from_file_location(
+        "suggest_ladder", os.path.join(REPO, "tools/suggest_ladder.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("suggest_ladder", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_expected_time_routes_to_smallest_fitting_rung():
+    m = _load()
+    cost = {10: 0.5, 30: 0.8, None: 1.0}.__getitem__
+    counts = {5: 2, 25: 1, 45: 1}  # ->10, ->30, ->full
+    t = m.expected_time(counts, (10, 30), cost)
+    assert abs(t - (2 * 0.5 + 1 * 0.8 + 1 * 1.0) / 4) < 1e-12
+
+
+def test_best_ladder_picks_cost_minimizing_rungs():
+    m = _load()
+
+    # linear cost in width; full width 50
+    def cost(w):
+        width = 50 if w is None else w
+        return width / 50.0
+
+    # two tight clusters -> the 2-rung optimum sits on the cluster maxima;
+    # the 1-rung optimum is the LOW cluster's max (the high cluster falls
+    # through to full width: 0.5*(10/50) + 0.5*1.0 = 0.6 beats 40/50 = 0.8)
+    counts = {8: 10, 10: 10, 38: 10, 40: 10}
+    ladders = m.best_ladder(counts, 2, cost, full=50)
+    assert ladders[0]["rungs"] == [10]
+    assert ladders[1]["rungs"] == [10, 40]
+    # speedups are monotone in rung count and marginals multiply up
+    assert ladders[1]["expected_speedup"] >= ladders[0]["expected_speedup"]
+    got = ladders[0]["expected_speedup"] * ladders[1]["marginal_vs_fewer_rungs"]
+    assert abs(got - ladders[1]["expected_speedup"]) < 1e-9
+
+
+def test_best_ladder_ignores_full_width_and_caps_rung_count():
+    m = _load()
+
+    def cost(w):
+        return 1.0 if w is None else w / 50.0
+
+    # only one usable candidate (full-width observations are not rungs)
+    counts = {50: 5, 20: 5}
+    ladders = m.best_ladder(counts, 3, cost, full=50)
+    assert len(ladders) == 1
+    assert ladders[0]["rungs"] == [20]

@@ -648,3 +648,36 @@ def test_engine_policy_backend_routes_by_bucket(setup, monkeypatch):
     for backend, rows in traced:
         by_backend.setdefault(backend, set()).add(rows)
     assert by_backend == {"xla": {1}, "xla_early": {4}}, traced
+
+
+def test_policy_backend_composes_with_ocr_ladder(setup):
+    """decode_backend="policy" + ocr_buckets: every ladder rung's executable
+    is itself policy-dispatched (narrow fns come from the same _make_greedy),
+    and answers match the plain full-width engine on ladder-eligible
+    traffic."""
+    task, model, vocab, ds, params = setup
+    ds2 = SyntheticDataset(task, 8, num_answers_vocab=len(vocab))
+    ds2.pool["pad_ocr_mask"][:8, 2:] = 0.0  # every row fits rung 2
+    samples = _samples_from_dataset(ds2, 6)
+
+    plain = ServingEngine(
+        model, params, vocab, buckets=(1, 4), max_wait_ms=20.0
+    )
+    plain.warmup()
+    with plain:
+        want = [f.result(timeout=60)["answer"]
+                for f in plain.submit_many(samples)]
+
+    grid = ServingEngine(
+        model, params, vocab, buckets=(1, 4), max_wait_ms=20.0,
+        decode_backend="policy", ocr_buckets=[2],
+    )
+    grid.warmup()
+    with grid:
+        first = grid.submit(samples[0]).result(timeout=60)["answer"]
+        rest = [f.result(timeout=60)["answer"]
+                for f in grid.submit_many(samples[1:])]
+    assert [first] + rest == want
+    # every batch rode the rung-2 executable (policy-dispatched inside)
+    s = grid.stats.summary()
+    assert sum(s["ocr_width_occupancy"].values()) == s["batches"]

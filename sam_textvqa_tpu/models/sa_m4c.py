@@ -87,7 +87,9 @@ def with_widths(
 
 
 def with_ocr_width(model: "SAM4C", n_small: int) -> "SAM4C":
-    """``with_widths`` on the OCR axis only (the serving engine's rung)."""
+    """``with_widths`` on the OCR axis only (kept as a public convenience;
+    the evaluator and serving engine now build (obj, ocr) grid cells via
+    ``with_widths`` directly)."""
     return with_widths(model, n_ocr=n_small)
 
 

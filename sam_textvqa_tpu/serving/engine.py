@@ -136,6 +136,22 @@ def build_sample(
     }
 
 
+def _normalize_ladder(bucket, max_width: int, axis: str):
+    """int | sequence | None -> ascending tuple of validated rungs (the
+    engine-side mirror of Evaluator._normalize_ladder)."""
+    if not bucket:
+        return ()
+    widths = (
+        (bucket,)
+        if isinstance(bucket, (int, np.integer))
+        else tuple(bucket)
+    )
+    ladder = tuple(sorted({int(w) for w in widths}))
+    for w in ladder:
+        assert 0 < w < max_width, f"{axis} rung {w} vs full {max_width}"
+    return ladder
+
+
 @dataclass
 class ServingStats:
     """Rolling serving metrics (thread-safe: every mutation and
@@ -147,6 +163,12 @@ class ServingStats:
     occupancy: Dict[int, int] = field(default_factory=dict)  # bucket -> count
     #: OCR-width rung -> batches routed there (only when ocr_buckets is set)
     ocr_width_occupancy: Dict[int, int] = field(default_factory=dict)
+    #: obj-width rung -> batches routed there (only when obj_buckets is set)
+    obj_width_occupancy: Dict[int, int] = field(default_factory=dict)
+    #: per-SAMPLE needed-width histograms (always recorded — cheap ints);
+    #: ServingEngine.ladder_plan() turns these into suggested rungs
+    ocr_needed: Dict[int, int] = field(default_factory=dict)
+    obj_needed: Dict[int, int] = field(default_factory=dict)
     latencies_ms: deque = field(default_factory=lambda: deque(maxlen=4096))
     #: bucket size -> rolling end-to-end latencies of requests that rode a
     #: batch of that bucket (SLO attribution: big buckets amortize decode
@@ -181,6 +203,10 @@ class ServingStats:
             if self.ocr_width_occupancy:
                 out["ocr_width_occupancy"] = dict(
                     sorted(self.ocr_width_occupancy.items())
+                )
+            if self.obj_width_occupancy:
+                out["obj_width_occupancy"] = dict(
+                    sorted(self.obj_width_occupancy.items())
                 )
             started = self.started
         elapsed = (
@@ -239,7 +265,11 @@ class ServingEngine:
       ocr_buckets: optional ladder of OCR widths — a coalesced batch whose
         requests all fit in a rung runs a narrower executable (identical
         answers; same slicing as the offline evaluator's ``--ocr_bucket``).
-        ``warmup`` pre-compiles the full (batch-bucket x width) grid.
+      obj_buckets: the same ladder on the obj-region axis (detectron box
+        slots, the bigger measured lever — SCALING.md "Obj-axis ladder");
+        composes with ``ocr_buckets`` as a routing GRID: each batch picks
+        the narrowest (obj, ocr) cell holding all its real tokens.
+        ``warmup`` pre-compiles the (batch-bucket x obj x ocr) grid.
       max_wait_ms: coalescing window after the first queued request.
       decode_backend: models.fast_decode backend ("auto" = XLA, fastest),
         or "policy" — the measured early-exit x bucket-size operator rule
@@ -268,6 +298,7 @@ class ServingEngine:
         max_queue: int = 4096,
         beam_size: int = 1,
         ocr_buckets: Optional[Sequence[int]] = None,
+        obj_buckets: Optional[Sequence[int]] = None,
     ):
         assert buckets and all(b > 0 for b in buckets), buckets
         assert beam_size >= 1, beam_size
@@ -302,18 +333,32 @@ class ServingEngine:
             if k in SAMPLE_KEYS
         }
         self._greedy = self._make_greedy(self.model)
-        # OCR-width ladder (ascending): coalesced batches route to the
-        # narrowest executable that fits every request's real OCR tokens
-        max_ocr = self.model.params_cfg.mmt.max_ocr_num
-        self._narrow = []
-        if ocr_buckets:
-            from ..models.sa_m4c import with_ocr_width
+        # Width ladders (ascending): coalesced batches route to the
+        # narrowest (obj, ocr) grid cell that fits every request's real
+        # tokens — same construction as the evaluator's _width_grid.
+        # Routing reads host-local masks: single-controller only.
+        mmt = self.model.params_cfg.mmt
+        self._obj_ladder = _normalize_ladder(obj_buckets, mmt.max_obj_num,
+                                             "obj")
+        self._ocr_ladder = _normalize_ladder(ocr_buckets, mmt.max_ocr_num,
+                                             "ocr")
+        if (self._obj_ladder or self._ocr_ladder) and jax.process_count() > 1:
+            raise ValueError(
+                "width ladders route on host-local pad masks and require a "
+                "single-process (single-controller) runtime; got "
+                f"jax.process_count()={jax.process_count()}"
+            )
+        self._grid = {}
+        if self._obj_ladder or self._ocr_ladder:
+            from ..models.sa_m4c import with_widths
 
-            for w in sorted({int(w) for w in ocr_buckets}):
-                assert 0 < w < max_ocr, w
-                self._narrow.append(
-                    (w, self._make_greedy(with_ocr_width(self.model, w)))
-                )
+            for ow in (*self._obj_ladder, None):
+                for cw in (*self._ocr_ladder, None):
+                    if (ow, cw) == (None, None):
+                        continue
+                    self._grid[(ow, cw)] = self._make_greedy(
+                        with_widths(self.model, n_obj=ow, n_ocr=cw)
+                    )
         self._batcher = threading.Thread(
             target=self._batch_loop, name="serving-batcher", daemon=True
         )
@@ -424,26 +469,88 @@ class ServingEngine:
     @property
     def ladder_widths(self) -> List[int]:
         """Ascending OCR-width ladder rungs (empty without --ocr_bucket)."""
-        return [w for w, _ in self._narrow]
+        return list(self._ocr_ladder)
+
+    @property
+    def obj_ladder_widths(self) -> List[int]:
+        """Ascending obj-width ladder rungs (empty without --obj_bucket)."""
+        return list(self._obj_ladder)
 
     @property
     def num_executables(self) -> int:
-        """Size of the compiled (batch-bucket x OCR-width) grid warmup
-        touches: every bucket at every ladder rung plus full width."""
-        return len(self.buckets) * (1 + len(self._narrow))
+        """Size of the compiled (batch-bucket x obj-width x OCR-width) grid
+        warmup touches: every bucket at every grid cell plus full width."""
+        return (
+            len(self.buckets)
+            * (1 + len(self._obj_ladder))
+            * (1 + len(self._ocr_ladder))
+        )
 
-    def _route_width(self, samples: List[Dict]):
-        """Narrowest ladder rung holding every real OCR token across the
-        group (None -> the full-width executable). OCR width is known at
-        request time, so serving gets sequence-length bucketing for free."""
-        if self._narrow:
-            from ..evaluation.evaluator import needed_ocr_width
+    def _route_widths(self, samples: List[Dict]):
+        """Narrowest (obj, ocr) grid cell holding every real token across
+        the group (None on an axis -> full width there; (None, None) -> the
+        full executable). Widths are known at request time, so serving gets
+        sequence-length bucketing for free. Also records the per-sample
+        needed-width histograms ladder_plan() suggests rungs from."""
+        from ..evaluation.evaluator import needed_width
 
-            needed = max(needed_ocr_width(s["pad_ocr_mask"]) for s in samples)
-            for w, fn in self._narrow:
-                if needed <= w:
-                    return fn, w
-        return self._greedy, None
+        obj_needs = [needed_width(s["pad_obj_mask"]) for s in samples]
+        ocr_needs = [needed_width(s["pad_ocr_mask"]) for s in samples]
+        with self.stats.lock:
+            for n in obj_needs:
+                self.stats.obj_needed[n] = self.stats.obj_needed.get(n, 0) + 1
+            for n in ocr_needs:
+                self.stats.ocr_needed[n] = self.stats.ocr_needed.get(n, 0) + 1
+
+        def pick(ladder, needs):
+            need = max(needs)
+            for w in ladder:
+                if need <= w:
+                    return w
+            return None
+
+        ow = pick(self._obj_ladder, obj_needs) if self._obj_ladder else None
+        cw = pick(self._ocr_ladder, ocr_needs) if self._ocr_ladder else None
+        if (ow, cw) == (None, None):
+            return self._greedy, None, None
+        return self._grid[(ow, cw)], ow, cw
+
+    def ladder_plan(self, max_rungs: int = 2) -> Dict:
+        """Suggested ``ocr_buckets``/``obj_buckets`` ladders from the
+        needed-width histograms of live traffic (per sample — the serving
+        granularity). Planning estimates under the cost model in
+        serving/ladder.py; re-measure before deploying. Exposed by the TCP
+        ``{"stats": true}`` response as ``ladder_plan``."""
+        from .ladder import plan_axis
+
+        with self.stats.lock:
+            snap = {
+                "ocr": dict(self.stats.ocr_needed),
+                "obj": dict(self.stats.obj_needed),
+            }
+        mmt = self.model.params_cfg.mmt
+        out = {}
+        for axis, counts in snap.items():
+            plan = plan_axis(counts, axis, mmt, max_rungs)
+            if plan:
+                out[axis] = plan
+        return out
+
+    def _shrink(self, host_batch: Dict, obj_w, ocr_w) -> Dict:
+        """Slice a stacked host batch down to a (obj, ocr) grid cell (None
+        = full width on that axis). OCR first, then obj — shrink_obj_batch
+        handles an already-OCR-shrunk spatial matrix (the evaluator's
+        _route_widths order)."""
+        if (obj_w, ocr_w) == (None, None):
+            return host_batch
+        from ..evaluation.evaluator import shrink_obj_batch, shrink_ocr_batch
+
+        n_obj = self.model.params_cfg.mmt.max_obj_num
+        if ocr_w is not None:
+            host_batch = shrink_ocr_batch(host_batch, n_obj, ocr_w)
+        if obj_w is not None:
+            host_batch = shrink_obj_batch(host_batch, n_obj, obj_w)
+        return host_batch
 
     def _place(self, host_batch: Dict):
         """One device_put of the WHOLE batch pytree. A single transfer RPC
@@ -460,16 +567,15 @@ class ServingEngine:
         blocks on) each result: the first device->host fetch of a decode
         output is where remote-TPU runtimes settle one-time setup costs,
         and it must not land on a live request."""
-        from ..evaluation.evaluator import shrink_ocr_batch
-
         zero = self._zero_sample()
-        n_obj = self.model.params_cfg.mmt.max_obj_num
+        cells = list(self._grid.items()) + [((None, None), self._greedy)]
         for b in self.buckets:
             host = self._stack([zero], b)
-            # the full (batch-bucket x OCR-width) executable grid
-            for w, fn in self._narrow + [(None, self._greedy)]:
-                shaped = host if w is None else shrink_ocr_batch(host, n_obj, w)
-                _, pred = fn(self.params, self._place(shaped))
+            # the full (batch-bucket x obj-width x OCR-width) executable grid
+            for (ow, cw), fn in cells:
+                _, pred = fn(
+                    self.params, self._place(self._shrink(host, ow, cw))
+                )
                 np.asarray(pred)
 
     # ---- public API -----------------------------------------------------
@@ -627,16 +733,10 @@ class ServingEngine:
             try:
                 bucket = self._pick_bucket(len(group))
                 samples = [g.sample for g in group]
-                fn, width = self._route_width(samples)
-                host_batch = self._stack(samples, bucket)
-                if width is not None:
-                    from ..evaluation.evaluator import shrink_ocr_batch
-
-                    host_batch = shrink_ocr_batch(
-                        host_batch,
-                        self.model.params_cfg.mmt.max_obj_num,
-                        width,
-                    )
+                fn, obj_w, ocr_w = self._route_widths(samples)
+                host_batch = self._shrink(
+                    self._stack(samples, bucket), obj_w, ocr_w
+                )
                 batch = self._place(host_batch)
                 # async dispatch: hand the un-fetched result to the consumer
                 _, pred_ids = fn(self.params, batch)
@@ -646,9 +746,13 @@ class ServingEngine:
                     self.stats.occupancy[bucket] = (
                         self.stats.occupancy.get(bucket, 0) + 1
                     )
-                    if width is not None:
-                        self.stats.ocr_width_occupancy[width] = (
-                            self.stats.ocr_width_occupancy.get(width, 0) + 1
+                    if ocr_w is not None:
+                        self.stats.ocr_width_occupancy[ocr_w] = (
+                            self.stats.ocr_width_occupancy.get(ocr_w, 0) + 1
+                        )
+                    if obj_w is not None:
+                        self.stats.obj_width_occupancy[obj_w] = (
+                            self.stats.obj_width_occupancy.get(obj_w, 0) + 1
                         )
                 self._results.put((group, pred_ids, time.monotonic()))
             except BaseException as e:  # bad batch: isolate/fail, keep serving

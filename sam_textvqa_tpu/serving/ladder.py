@@ -1,0 +1,104 @@
+"""Width-ladder planning: pick `--ocr_bucket` / `--obj_bucket` rungs from
+observed needed-width histograms.
+
+The OCR/obj width ladders (evaluation/evaluator.py `_width_grid`,
+serving/engine.py `_route_widths`) trade one extra compiled executable per
+rung for running most batches at a narrower joint sequence. Which rungs pay
+off depends on the data's occupancy — the reference pads every sample to
+50 OCR / 100 obj boxes (reference textvqa_dataset.py:285-334) but real
+traffic rarely fills either. This module turns a histogram of
+router-visible needed widths into the expected-cost-minimizing ladder under
+a service-time model
+
+    time(width) ~ (L(width) / L(full))**alpha ,   L = q + obj + ocr + dec
+
+with ``ALPHA = 1.2`` fit to the on-chip A/Bs in SCALING.md ("OCR-width
+bucket ladder": ocr-25 +16.2%; "Obj-axis ladder": obj-50 +53.5%, grid
++77.8% @96). Predictions are planning estimates, not measurements.
+
+Consumed by tools/suggest_ladder.py (offline dataset scan) and
+ServingEngine.ladder_plan() (live-traffic histograms in ServingStats).
+"""
+
+import itertools
+from typing import Callable, Dict, List, Optional
+
+ALPHA = 1.2  # fit from SCALING.md measured ladder wins (module docstring)
+
+
+def expected_time(counts: Dict[int, int], rungs, cost: Callable) -> float:
+    """Mean service-time ratio when each observed width routes to the
+    smallest rung that fits (falling through to full width = cost(None))."""
+    total = sum(counts.values())
+    t = 0.0
+    for w, n in counts.items():
+        routed = next((r for r in rungs if w <= r), None)
+        t += n * cost(routed)
+    return t / total
+
+
+def best_ladder(
+    counts: Dict[int, int], max_rungs: int, cost: Callable, full: int
+) -> List[Dict]:
+    """Exhaustive search over observed widths for the ladder of 1..K rungs
+    minimizing expected service time. Candidate rungs are the observed
+    needed widths themselves — any rung between two observed values routes
+    identically to the lower one but runs wider, so optima lie on observed
+    widths."""
+    candidates = sorted(w for w in counts if 0 < w < full)
+    results = []
+    best_prev = 1.0
+    for k in range(1, max_rungs + 1):
+        if len(candidates) < k:
+            break
+        t, rungs = min(
+            (expected_time(counts, c, cost), c)
+            for c in itertools.combinations(candidates, k)
+        )
+        results.append(
+            {
+                "rungs": list(rungs),
+                "expected_speedup": 1.0 / t,
+                "marginal_vs_fewer_rungs": best_prev / t,
+                "extra_executables": k,
+            }
+        )
+        best_prev = t
+    return results
+
+
+def plan_axis(
+    counts: Dict[int, int],
+    axis: str,
+    mmt_cfg,
+    max_rungs: int = 2,
+    alpha: float = ALPHA,
+) -> Optional[Dict]:
+    """Ladder suggestions for one axis ("ocr" | "obj") of a model config.
+
+    ``counts``: {needed_width: occurrences} at the router's granularity.
+    Returns {"needed_width_histogram", "full_width", "ladders"} or None for
+    an empty histogram.
+    """
+    if not counts:
+        return None
+    q, o, c, t = (
+        mmt_cfg.max_seq_length,
+        mmt_cfg.max_obj_num,
+        mmt_cfg.max_ocr_num,
+        mmt_cfg.num_decoding_steps,
+    )
+    l_full = q + o + c + t
+    full, other = (c, o) if axis == "ocr" else (o, c)
+
+    def cost(w):
+        width = full if w is None else w
+        return ((q + other + width + t) / l_full) ** alpha
+
+    return {
+        "needed_width_histogram": {
+            int(k): int(v) for k, v in sorted(counts.items())
+        },
+        "full_width": full,
+        "ladders": best_ladder(counts, max_rungs, cost, full),
+    }

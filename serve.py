@@ -57,6 +57,12 @@ def get_args():
                    "requests all fit a rung run a narrower executable "
                    "(identical answers; warmup compiles the bucket x width "
                    "grid)")
+    p.add_argument("--obj_bucket", default=None, metavar="N[,N...]",
+                   help="comma-separated obj-width ladder (detectron box "
+                   "slots); composes with --ocr_bucket as a routing grid "
+                   "(identical answers; the bigger measured lever — "
+                   "SCALING.md). tools/suggest_ladder.py or the live "
+                   "ladder_plan in the stats response suggest rungs")
     p.add_argument("--max_wait_ms", type=float, default=2.0)
     p.add_argument(
         "--decode_backend",
@@ -178,6 +184,10 @@ def build_engine(args):
             [int(w) for w in args.ocr_bucket.split(",") if w]
             if args.ocr_bucket else None
         ),
+        obj_buckets=(
+            [int(w) for w in args.obj_bucket.split(",") if w]
+            if args.obj_bucket else None
+        ),
     )
     t0 = time.time()
     engine.warmup()
@@ -273,8 +283,10 @@ class _LineHandler(socketserver.StreamRequestHandler):
                 req = json.loads(raw)
                 if req.get("stats"):
                     # operational introspection: {"stats": true} returns
-                    # the rolling latency/throughput/occupancy summary
-                    out = {"id": req.get("id"), **engine.stats.summary()}
+                    # the rolling latency/throughput/occupancy summary plus
+                    # suggested width-ladder rungs from live traffic
+                    out = {"id": req.get("id"), **engine.stats.summary(),
+                           "ladder_plan": engine.ladder_plan()}
                     self.wfile.write((json.dumps(out) + "\n").encode())
                     self.wfile.flush()
                     continue

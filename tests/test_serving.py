@@ -681,3 +681,83 @@ def test_policy_backend_composes_with_ocr_ladder(setup):
     # every batch rode the rung-2 executable (policy-dispatched inside)
     s = grid.stats.summary()
     assert sum(s["ocr_width_occupancy"].values()) == s["batches"]
+
+
+def test_serving_obj_bucket_ladder_same_answers(setup):
+    """obj_buckets=[3]: requests whose real obj boxes all fit 3 slots route
+    to the narrower executable with answers identical to the full-width
+    engine's (the obj axis is the bigger measured lever — SCALING.md)."""
+    task, model, vocab, ds, params = setup
+    ds2 = SyntheticDataset(task, 10, num_answers_vocab=len(vocab))
+    ds2.pool["pad_obj_mask"][:10, 3:] = 0.0  # every row fits 3 obj slots
+    samples = _samples_from_dataset(ds2, 6)
+
+    plain = ServingEngine(model, params, vocab, buckets=(1, 4),
+                          max_wait_ms=20.0)
+    plain.warmup()
+    with plain:
+        want = [f.result(timeout=60)["answer"]
+                for f in plain.submit_many(samples)]
+    narrow = ServingEngine(model, params, vocab, buckets=(1, 4),
+                           max_wait_ms=20.0, obj_buckets=[3])
+    narrow.warmup()
+    with narrow:
+        got = [f.result(timeout=60)["answer"]
+               for f in narrow.submit_many(samples)]
+    assert got == want
+    s = narrow.stats.summary()
+    assert sum(s["obj_width_occupancy"].values()) == s["batches"]
+
+
+def test_serving_grid_routing_same_answers(setup):
+    """obj x ocr grid: requests fitting both rungs route to the (obj, ocr)
+    cell — both occupancy maps count every batch — with identical answers."""
+    task, model, vocab, ds, params = setup
+    ds2 = SyntheticDataset(task, 10, num_answers_vocab=len(vocab))
+    ds2.pool["pad_obj_mask"][:10, 3:] = 0.0
+    ds2.pool["pad_ocr_mask"][:10, 2:] = 0.0
+    samples = _samples_from_dataset(ds2, 6)
+
+    plain = ServingEngine(model, params, vocab, buckets=(2,),
+                          max_wait_ms=20.0)
+    plain.warmup()
+    with plain:
+        want = [f.result(timeout=60)["answer"]
+                for f in plain.submit_many(samples)]
+    grid = ServingEngine(model, params, vocab, buckets=(2,),
+                         max_wait_ms=20.0, obj_buckets=[3], ocr_buckets=[2])
+    assert grid.num_executables == 4  # 1 bucket x (obj 3|full) x (ocr 2|full)
+    grid.warmup()
+    with grid:
+        got = [f.result(timeout=60)["answer"]
+               for f in grid.submit_many(samples)]
+    assert got == want
+    s = grid.stats.summary()
+    assert sum(s["obj_width_occupancy"].values()) == s["batches"]
+    assert sum(s["ocr_width_occupancy"].values()) == s["batches"]
+
+
+def test_ladder_plan_suggests_from_live_traffic(setup):
+    """A plain engine (no ladders) still histograms per-sample needed
+    widths; ladder_plan() turns them into suggested rungs lying on observed
+    widths with speedup estimates >= 1."""
+    task, model, vocab, ds, params = setup
+    ds2 = SyntheticDataset(task, 8, num_answers_vocab=len(vocab))
+    ds2.pool["pad_ocr_mask"][:4, 2:] = 0.0  # half the traffic is narrow
+    samples = _samples_from_dataset(ds2, 8)
+
+    engine = ServingEngine(model, params, vocab, buckets=(4,),
+                           max_wait_ms=20.0)
+    engine.warmup()
+    with engine:
+        [f.result(timeout=60) for f in engine.submit_many(samples)]
+
+    plan = engine.ladder_plan(max_rungs=2)
+    assert set(plan) == {"ocr", "obj"}
+    ocr = plan["ocr"]
+    assert sum(ocr["needed_width_histogram"].values()) == 8
+    assert ocr["full_width"] == task.mmt.max_ocr_num
+    observed = set(ocr["needed_width_histogram"])
+    for lad in ocr["ladders"]:
+        assert set(lad["rungs"]) <= observed
+        assert lad["expected_speedup"] >= 1.0

@@ -100,9 +100,10 @@ class FastTextProcessor:
     """300-d OCR word vectors (reference FastTextProcessor,
     processors.py:181-226: mean over space-split subwords).
 
-    Backends: the real fastText .bin (if the native lib + model file exist),
-    a precomputed ``{word: vector}`` table, or a deterministic hash fallback
-    so the pipeline runs hermetically.
+    Backends: the real fastText .bin (the native lib when installed, else
+    the pure-Python ``data.fasttext_bin`` reader — same subword semantics,
+    memmap-backed), a precomputed ``{word: vector}`` table, or a
+    deterministic hash fallback so the pipeline runs hermetically.
     """
 
     def __init__(
@@ -126,7 +127,13 @@ class FastTextProcessor:
             self.table = dict(zip(words, vectors))
             self.dim = int(vectors.shape[1])
         if model_path:
-            from fasttext import load_model  # native lib; optional
+            try:
+                from fasttext import load_model  # native lib; optional
+            except ImportError:
+                # pure-Python .bin ingest (same get_word_vector semantics,
+                # memmap-backed) — mirrors LmdbFeatureSource's lmdb_io
+                # fallback so real wiki.en.bin bytes load without the lib
+                from .fasttext_bin import load_fasttext_bin as load_model
 
             self.model = load_model(model_path)
             self.dim = self.model.get_dimension()

@@ -110,10 +110,24 @@ def test_train_on_real_lmdb_files(tmp_path):
     for fmt in ("trainval", "test"):
         _npz_dir_to_lmdb(feat_dir, tmp_path / f"obj_{fmt}")
         _npz_dir_to_lmdb(ocr_dir, tmp_path / f"ocr_{fmt}")
+    # OCR word vectors from a real fastText .bin (the reference's wiki.en.bin
+    # path, processors.py:191-200) — written in the library's on-disk format
+    # and ingested by the pure-Python reader (no native lib in-container)
+    from sam_textvqa_tpu.data.fasttext_bin import write_fasttext_bin
+
+    ft_words = ["stop", "exit", "cola", "open", "sale", "bus"]
+    ft_bin = tmp_path / "wiki.fixture.bin"
+    write_fasttext_bin(
+        str(ft_bin),
+        ft_words,
+        np.random.RandomState(3).randn(len(ft_words), 300).astype(np.float32),
+        bucket=512,
+    )
     cfg_path = _config(tmp_path, feat_dir, ocr_dir, vocab)
     cfg = yaml.safe_load(open(cfg_path))
     cfg["textvqa_obj"] = str(tmp_path / "obj_{}")
     cfg["textvqa_ocr"] = str(tmp_path / "ocr_{}")
+    cfg["fasttext_bin"] = str(ft_bin)
     open(cfg_path, "w").write(yaml.safe_dump(cfg))
 
     env = dict(os.environ)
@@ -126,6 +140,8 @@ def test_train_on_real_lmdb_files(tmp_path):
         cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
     )
     assert r.returncode == 0, r.stderr[-3000:]
+    # the .bin was actually used: the hash-noise fallback warning is absent
+    assert "hash noise" not in (r.stderr + r.stdout)
     save_dir = tmp_path / "save" / "lmdbpath"
     preds = json.loads((save_dir / "evalai_val.json").read_text())
     assert len(preds) == 10

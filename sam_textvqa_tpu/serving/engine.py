@@ -169,6 +169,9 @@ class ServingStats:
     #: ServingEngine.ladder_plan() turns these into suggested rungs
     ocr_needed: Dict[int, int] = field(default_factory=dict)
     obj_needed: Dict[int, int] = field(default_factory=dict)
+    #: true coalesced group size per batch (before bucket padding);
+    #: ServingEngine.bucket_plan() suggests batch buckets from this
+    group_sizes: Dict[int, int] = field(default_factory=dict)
     latencies_ms: deque = field(default_factory=lambda: deque(maxlen=4096))
     #: bucket size -> rolling end-to-end latencies of requests that rode a
     #: batch of that bucket (SLO attribution: big buckets amortize decode
@@ -178,6 +181,9 @@ class ServingStats:
     #: time, free of queueing (under a closed-loop flood latencies_ms is
     #: dominated by queue time; this is the serving-capacity number)
     service_ms: deque = field(default_factory=lambda: deque(maxlen=4096))
+    #: the same, attributed to the bucket the batch rode — the measured
+    #: t(B) samples bucket_plan() fits its service line to
+    service_ms_by_bucket: Dict[int, deque] = field(default_factory=dict)
     #: monotonic stamp of the FIRST submitted request — not engine
     #: construction, so throughput_qps never amortizes warmup compile time
     started: Optional[float] = None
@@ -536,6 +542,24 @@ class ServingEngine:
                 out[axis] = plan
         return out
 
+    def bucket_plan(self, max_buckets: int = 3) -> Optional[Dict]:
+        """Suggested ``buckets`` (batch sizes) from live traffic: the
+        coalesced-group-size histogram costed under a ``t(B) = a + b*B``
+        service line fit to this engine's own per-bucket service-time
+        measurements (serving/ladder.py plan_buckets — first-order
+        estimate: bucket choice feeds back into coalescing). Exposed as
+        ``bucket_plan`` in the TCP stats response; None until a batch has
+        been served, a ``reason`` until two distinct buckets have been."""
+        from .ladder import plan_buckets
+
+        with self.stats.lock:
+            groups = dict(self.stats.group_sizes)
+            svc = {
+                b: list(d)
+                for b, d in self.stats.service_ms_by_bucket.items()
+            }
+        return plan_buckets(groups, svc, max_buckets)
+
     def _shrink(self, host_batch: Dict, obj_w, ocr_w) -> Dict:
         """Slice a stacked host batch down to a (obj, ocr) grid cell (None
         = full width on that axis). OCR first, then obj — shrink_obj_batch
@@ -746,6 +770,9 @@ class ServingEngine:
                     self.stats.occupancy[bucket] = (
                         self.stats.occupancy.get(bucket, 0) + 1
                     )
+                    self.stats.group_sizes[len(group)] = (
+                        self.stats.group_sizes.get(len(group), 0) + 1
+                    )
                     if ocr_w is not None:
                         self.stats.ocr_width_occupancy[ocr_w] = (
                             self.stats.ocr_width_occupancy.get(ocr_w, 0) + 1
@@ -788,7 +815,11 @@ class ServingEngine:
                 bucket = int(ids.shape[0])  # rows incl. coalesce padding
                 with self.stats.lock:
                     self.stats.requests += len(group)
-                    self.stats.service_ms.append((now - t_disp) * 1000.0)
+                    svc = (now - t_disp) * 1000.0
+                    self.stats.service_ms.append(svc)
+                    self.stats.service_ms_by_bucket.setdefault(
+                        bucket, deque(maxlen=1024)
+                    ).append(svc)
                     per_bucket = self.stats.latencies_ms_by_bucket.setdefault(
                         bucket, deque(maxlen=4096)
                     )

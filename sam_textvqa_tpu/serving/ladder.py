@@ -23,6 +23,8 @@ ServingEngine.ladder_plan() (live-traffic histograms in ServingStats).
 import itertools
 from typing import Callable, Dict, List, Optional
 
+import numpy as np
+
 ALPHA = 1.2  # fit from SCALING.md measured ladder wins (module docstring)
 
 
@@ -65,6 +67,81 @@ def best_ladder(
         )
         best_prev = t
     return results
+
+
+def fit_service_line(service_by_bucket: Dict[int, List[float]]):
+    """Least-squares ``t(B) = a + b*B`` over (bucket, median service-ms)
+    pairs from live measurements. Returns ``(a, b)`` in ms, or None when
+    the data cannot support a fit (fewer than two distinct buckets
+    measured, or a non-increasing line — noise between two close points).
+    The affine shape matches the measured serving profile (SCALING.md
+    "Serving latency": a fixed dispatch cost plus per-row decode)."""
+    pts = [
+        (float(b), float(np.median(v)))
+        for b, v in service_by_bucket.items()
+        if len(v) > 0
+    ]
+    if len({b for b, _ in pts}) < 2:
+        return None
+    xs = np.asarray([p[0] for p in pts])
+    ys = np.asarray([p[1] for p in pts])
+    b, a = np.polyfit(xs, ys, 1)
+    if b <= 0 or a < 0:
+        return None  # measured noise inverted the line; don't plan on it
+    return float(a), float(b)
+
+
+def plan_buckets(
+    group_counts: Dict[int, int],
+    service_by_bucket: Dict[int, List[float]],
+    max_buckets: int = 3,
+) -> Optional[Dict]:
+    """Suggested ``--buckets`` from live traffic: the histogram of true
+    coalesced group sizes + the measured per-bucket service times.
+
+    Fits ``t(B) = a + b*B`` to the measured buckets, then reuses the
+    ladder search: candidate rungs are observed group sizes, every group
+    rides the smallest suggested bucket that fits, and the implicit top
+    bucket is the largest observed group. ``expected_speedup`` is vs
+    running every batch at that single top bucket. First-order estimate
+    only — bucket choice also feeds back into how groups coalesce
+    (max group size = the largest bucket), which a histogram of past
+    traffic cannot see. Returns None (nothing measured) or a dict with a
+    ``reason`` when the service fit is not usable yet.
+    """
+    if not group_counts:
+        return None
+    full = max(group_counts)
+    out: Dict = {
+        "group_size_histogram": {
+            int(k): int(v) for k, v in sorted(group_counts.items())
+        },
+        "top_bucket": int(full),
+    }
+    fit = fit_service_line(service_by_bucket)
+    if fit is None:
+        out["reason"] = (
+            "need measured service times from >= 2 distinct batch buckets "
+            "to fit t(B) = a + b*B"
+        )
+        return out
+    a, b = fit
+    out["service_fit_ms"] = {"dispatch": round(a, 3), "per_row": round(b, 4)}
+    t_full = a + b * full
+
+    def cost(w):
+        return (a + b * (full if w is None else w)) / t_full
+
+    ladders = best_ladder(group_counts, max_buckets - 1, cost, full)
+    out["ladders"] = [
+        {
+            "buckets": sorted(lad["rungs"] + [int(full)]),
+            "expected_speedup": lad["expected_speedup"],
+            "marginal_vs_fewer_buckets": lad["marginal_vs_fewer_rungs"],
+        }
+        for lad in ladders
+    ]
+    return out
 
 
 def plan_axis(

@@ -284,9 +284,11 @@ class _LineHandler(socketserver.StreamRequestHandler):
                 if req.get("stats"):
                     # operational introspection: {"stats": true} returns
                     # the rolling latency/throughput/occupancy summary plus
-                    # suggested width-ladder rungs from live traffic
+                    # suggested width-ladder rungs and batch buckets from
+                    # live traffic
                     out = {"id": req.get("id"), **engine.stats.summary(),
-                           "ladder_plan": engine.ladder_plan()}
+                           "ladder_plan": engine.ladder_plan(),
+                           "bucket_plan": engine.bucket_plan()}
                     self.wfile.write((json.dumps(out) + "\n").encode())
                     self.wfile.flush()
                     continue

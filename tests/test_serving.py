@@ -761,3 +761,37 @@ def test_ladder_plan_suggests_from_live_traffic(setup):
     for lad in ocr["ladders"]:
         assert set(lad["rungs"]) <= observed
         assert lad["expected_speedup"] >= 1.0
+
+
+def test_bucket_plan_from_live_traffic(setup):
+    """bucket_plan(): the engine histograms true coalesced group sizes and
+    fits t(B) = a + b*B to its own per-bucket service times; once two
+    distinct buckets have been measured it suggests batch buckets lying on
+    observed group sizes (first-order estimate; serving/ladder.py)."""
+    task, model, vocab, ds, params = setup
+    samples = _samples_from_dataset(ds, 9)
+
+    engine = ServingEngine(model, params, vocab, buckets=(1, 4),
+                           max_wait_ms=50.0)
+    engine.warmup()
+    with engine:
+        assert engine.bucket_plan() is None  # nothing observed yet
+        # a lone request rides bucket 1...
+        engine.submit(samples[0]).result(timeout=60)
+        plan1 = engine.bucket_plan()
+        assert plan1["top_bucket"] == 1 and "reason" in plan1
+        # ...then coalesced groups ride bucket 4
+        [f.result(timeout=60) for f in engine.submit_many(samples[1:])]
+
+    s = engine.stats.summary()
+    plan = engine.bucket_plan(max_buckets=2)
+    assert sum(plan["group_size_histogram"].values()) == s["batches"]
+    observed = set(plan["group_size_histogram"])
+    if "ladders" in plan:  # two distinct buckets measured (the usual case)
+        assert plan["service_fit_ms"]["per_row"] > 0
+        for lad in plan["ladders"]:
+            assert lad["buckets"][-1] == plan["top_bucket"]
+            assert set(lad["buckets"]) <= observed
+            assert lad["expected_speedup"] >= 1.0
+    else:  # every group coalesced to the same bucket: fit impossible
+        assert "reason" in plan

@@ -59,3 +59,40 @@ def test_best_ladder_ignores_full_width_and_caps_rung_count():
     ladders = m.best_ladder(counts, 3, cost, full=50)
     assert len(ladders) == 1
     assert ladders[0]["rungs"] == [20]
+
+
+def test_fit_service_line_recovers_affine_profile():
+    from sam_textvqa_tpu.serving.ladder import fit_service_line
+
+    # exact t(B) = 2 + 0.3*B at three buckets (median kills the outlier)
+    svc = {1: [2.3, 2.3, 99.0], 8: [4.4, 4.4, 4.4], 32: [11.6]}
+    a, b = fit_service_line(svc)
+    assert abs(a - 2.0) < 1e-9 and abs(b - 0.3) < 1e-9
+    # one bucket measured, or a non-increasing line: no fit
+    assert fit_service_line({8: [4.4, 4.5]}) is None
+    assert fit_service_line({1: [5.0], 8: [3.0]}) is None
+
+
+def test_plan_buckets_picks_group_size_rungs():
+    from sam_textvqa_tpu.serving.ladder import plan_buckets
+
+    svc = {1: [2.3], 32: [11.6]}  # t(B) = 2 + 0.3*B
+    # half the batches are singles, half ride at the 32 top bucket:
+    # one extra bucket at 1 saves 0.5*(t(32)-t(1))/t(32)
+    groups = {1: 50, 32: 50}
+    plan = plan_buckets(groups, svc, max_buckets=2)
+    assert plan["top_bucket"] == 32
+    assert plan["service_fit_ms"] == {"dispatch": 2.0, "per_row": 0.3}
+    (lad,) = plan["ladders"]
+    assert lad["buckets"] == [1, 32]
+    want = 1.0 / (0.5 * (2.3 / 11.6) + 0.5)
+    assert abs(lad["expected_speedup"] - want) < 1e-9
+
+
+def test_plan_buckets_degrades_gracefully():
+    from sam_textvqa_tpu.serving.ladder import plan_buckets
+
+    assert plan_buckets({}, {}, 3) is None  # nothing observed yet
+    plan = plan_buckets({4: 3}, {4: [5.0]}, 3)  # one bucket measured
+    assert plan["top_bucket"] == 4
+    assert "ladders" not in plan and "reason" in plan

@@ -9,8 +9,10 @@ import numpy as np
 import pytest
 
 from sam_textvqa_tpu.ops.spatial_graph import (
+    _build_spatial_graph_numpy,
     build_shared_graphs,
     build_spatial_graph,
+    native_available,
     relation_head_lut,
     rotate_classes,
     spatial_head_mask_from_classes,
@@ -129,3 +131,23 @@ def test_batched_equals_per_sample():
     joint = build_spatial_graph(batch)
     for i in range(4):
         np.testing.assert_array_equal(joint[i], build_spatial_graph(batch[i]))
+
+
+@pytest.mark.skipif(not native_available(), reason="libsamspatial.so absent")
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_native_bit_equals_numpy(seed):
+    """csrc/spatialgraph.cc must be byte-identical to the numpy path (which
+    the oracle tests above prove against the reference scalar loop). Covers
+    batched + padded + duplicate-row (coincident-center NaN-angle) cases and
+    the serving shape (N=150)."""
+    rng = np.random.RandomState(seed)
+    for n, n_pad in [(1, 0), (7, 3), (24, 4), (150, 110)]:
+        batch = np.stack([random_boxes(rng, n, n_pad) for _ in range(3)])
+        if n > 2:
+            batch[:, 1] = batch[:, 0]  # duplicates: dist==0 -> class 4
+        for thr in (0.5, 0.25):
+            np.testing.assert_array_equal(
+                build_spatial_graph(batch, thr),
+                _build_spatial_graph_numpy(batch, thr),
+                err_msg=f"n={n} thr={thr}",
+            )

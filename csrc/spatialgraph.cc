@@ -18,8 +18,11 @@
 // Relation classes: 0 none/padded | 1 i-covers-j | 2 j-covers-i |
 // 3 IoU>=0.5 | 4..11 directional octants within 0.5*diag | 12 self.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -114,11 +117,34 @@ void spatial_graph_one(const double* bbox, int64_t n, double dist_thr,
 extern "C" {
 
 // bbox: (b, n, 4) contiguous doubles; out: (b, n, n) int8.
+// Samples are independent, so the batch fans out over hardware threads
+// (bit-equality is per-sample and unaffected by the split). Threading
+// engages only when there is enough work to amortize thread start-up:
+// offline preprocessing ships thousands of samples per call, while the
+// serving featurizer's single-sample calls stay on the caller's thread.
+// threads: 0 = auto (hardware concurrency, capped at b/4).
 void sam_spatial_graph(const double* bbox, int64_t b, int64_t n,
-                       double dist_thr, int8_t* out) {
-  for (int64_t s = 0; s < b; ++s) {
-    spatial_graph_one(bbox + s * n * 4, n, dist_thr, out + s * n * n);
+                       double dist_thr, int8_t* out, int64_t threads) {
+  const int64_t hw = threads > 0
+      ? threads
+      : static_cast<int64_t>(std::thread::hardware_concurrency());
+  const int64_t workers = std::max<int64_t>(1, std::min(hw, b / 4));
+  if (workers <= 1) {
+    for (int64_t s = 0; s < b; ++s) {
+      spatial_graph_one(bbox + s * n * 4, n, dist_thr, out + s * n * n);
+    }
+    return;
   }
+  std::vector<std::thread> pool;
+  pool.reserve(static_cast<size_t>(workers));
+  for (int64_t w = 0; w < workers; ++w) {
+    pool.emplace_back([=] {
+      for (int64_t s = w; s < b; s += workers) {
+        spatial_graph_one(bbox + s * n * 4, n, dist_thr, out + s * n * n);
+      }
+    });
+  }
+  for (auto& t : pool) t.join();
 }
 
 }  // extern "C"

@@ -49,7 +49,7 @@ _DIR_LO, _DIR_HI = 4, 11  # directional class range
 
 
 def build_spatial_graph(
-    bbox: np.ndarray, distance_threshold: float = 0.5
+    bbox: np.ndarray, distance_threshold: float = 0.5, threads: int = 0
 ) -> np.ndarray:
     """Classify every ordered box pair into one of 13 relation classes.
 
@@ -58,6 +58,10 @@ def build_spatial_graph(
         zero are padding (reference spatial_utils.py:133-141 skips them).
       distance_threshold: directional cutoff as a fraction of the image
         diagonal (reference default 0.5).
+      threads: native-path batch fan-out over sample-level worker threads
+        (samples are independent, so the split cannot change bits);
+        0 = auto (hardware concurrency, capped at batch/4 so small and
+        single-sample calls stay on the caller's thread).
 
     Returns:
       (..., N, N) int8 class matrix — the reference's "1" matrix.
@@ -80,6 +84,7 @@ def build_spatial_graph(
             flat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             flat.shape[0], n, float(distance_threshold),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            int(threads),
         )
         return out.reshape(bbox.shape[:-1] + (n,))
     return _build_spatial_graph_numpy(bbox, distance_threshold)
@@ -106,7 +111,7 @@ def _native_lib():
         lib = ctypes.CDLL(so_path)
         lib.sam_spatial_graph.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_double, ctypes.POINTER(ctypes.c_int8),
+            ctypes.c_double, ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
         ]
         return lib
     except OSError:

@@ -151,3 +151,15 @@ def test_native_bit_equals_numpy(seed):
                 _build_spatial_graph_numpy(batch, thr),
                 err_msg=f"n={n} thr={thr}",
             )
+
+
+@pytest.mark.skipif(not native_available(), reason="libsamspatial.so absent")
+def test_native_threaded_batch_bit_equals_serial():
+    """The native pass fans a batch out over worker threads (samples are
+    independent); forcing a 3-thread pool must not change a byte vs the
+    single-thread walk, even on a 1-core host."""
+    rng = np.random.RandomState(11)
+    batch = np.stack([random_boxes(rng, 40, 10) for _ in range(31)])
+    serial = build_spatial_graph(batch, threads=1)
+    np.testing.assert_array_equal(serial, build_spatial_graph(batch, threads=3))
+    np.testing.assert_array_equal(serial, _build_spatial_graph_numpy(batch))

@@ -33,13 +33,14 @@ reference evaluator.py:52-63); the per-request preprocessing helper
 
 from __future__ import annotations
 
+import logging
 import threading
 import time
 from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from queue import Empty, Full, Queue
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,8 @@ import numpy as np
 from ..data.prefetch import cast_features_for_transfer
 from ..data.vocab import VocabDict
 from ..evaluation.metrics import decode_predictions
+
+logger = logging.getLogger(__name__)
 
 #: per-sample array schema (unbatched shapes) the decoder consumes;
 #: everything else in a request dict is host-side metadata.
@@ -184,6 +187,9 @@ class ServingStats:
     #: the same, attributed to the bucket the batch rode — the measured
     #: t(B) samples bucket_plan() fits its service line to
     service_ms_by_bucket: Dict[int, deque] = field(default_factory=dict)
+    #: adoption log of the live auto-tuner (ServingEngine auto_tune_every):
+    #: one dict per routing swap, surfaced by summary() and the TCP stats
+    autotune: List[Dict] = field(default_factory=list)
     #: monotonic stamp of the FIRST submitted request — not engine
     #: construction, so throughput_qps never amortizes warmup compile time
     started: Optional[float] = None
@@ -214,6 +220,8 @@ class ServingStats:
                 out["obj_width_occupancy"] = dict(
                     sorted(self.obj_width_occupancy.items())
                 )
+            if self.autotune:
+                out["autotune"] = [dict(e) for e in self.autotune]
             started = self.started
         elapsed = (
             max(time.monotonic() - started, 1e-9)
@@ -246,6 +254,18 @@ class ServingStats:
                 service_ms_per_batch_mean=float(svc.mean()),
             )
         return out
+
+
+class _Routing(NamedTuple):
+    """Immutable width-routing snapshot: the batcher reads it once per
+    batch, the auto-tuner swaps the whole tuple atomically — no lock on
+    the hot path."""
+
+    obj_ladder: Tuple[int, ...]
+    ocr_ladder: Tuple[int, ...]
+    #: (obj_width|None, ocr_width|None) -> jitted decode fn; the
+    #: (None, None) full-width cell lives in ServingEngine._greedy
+    grid: Dict
 
 
 class _Pending(Future):
@@ -289,6 +309,23 @@ class ServingEngine:
         arrays (e.g. a sharded placement for a TP mesh); default is one
         ``jax.device_put`` of the whole batch pytree (see ``_place``).
       pipeline_depth: un-fetched device results in flight.
+      auto_tune_every: > 0 enables the LIVE width-ladder auto-tuner: every
+        N served batches the engine re-plans both width ladders from its
+        own needed-width histograms (``ladder_plan``), and when the
+        cost-model speedup of a different ladder clears
+        ``auto_tune_min_speedup``, compiles the new (bucket x obj x ocr)
+        cells on a background thread and atomically swaps the routing —
+        live batches keep running on the old grid until the new one is
+        warm. Routing is answer-invariant (same identical-answers contract
+        as static ladders), so adoption never changes results, only
+        service time. Adoptions are logged to ``stats.autotune`` (and the
+        TCP stats response). ``bucket_plan`` stays advisory: batch-bucket
+        choice feeds back into coalescing, which the plan cannot see.
+      auto_tune_min_speedup: cost-model expected speedup a planned ladder
+        must clear before the tuner adopts it (default 1.05).
+      max_executables: budget on len(buckets) x (1+obj rungs) x
+        (1+ocr rungs) the tuner may compile to (explicit ladders are not
+        subject to it).
     """
 
     def __init__(
@@ -305,6 +342,9 @@ class ServingEngine:
         beam_size: int = 1,
         ocr_buckets: Optional[Sequence[int]] = None,
         obj_buckets: Optional[Sequence[int]] = None,
+        auto_tune_every: int = 0,
+        auto_tune_min_speedup: float = 1.05,
+        max_executables: int = 48,
     ):
         assert buckets and all(b > 0 for b in buckets), buckets
         assert beam_size >= 1, beam_size
@@ -344,27 +384,25 @@ class ServingEngine:
         # tokens — same construction as the evaluator's _width_grid.
         # Routing reads host-local masks: single-controller only.
         mmt = self.model.params_cfg.mmt
-        self._obj_ladder = _normalize_ladder(obj_buckets, mmt.max_obj_num,
-                                             "obj")
-        self._ocr_ladder = _normalize_ladder(ocr_buckets, mmt.max_ocr_num,
-                                             "ocr")
-        if (self._obj_ladder or self._ocr_ladder) and jax.process_count() > 1:
+        obj_ladder = _normalize_ladder(obj_buckets, mmt.max_obj_num, "obj")
+        ocr_ladder = _normalize_ladder(ocr_buckets, mmt.max_ocr_num, "ocr")
+        if (
+            obj_ladder or ocr_ladder or auto_tune_every > 0
+        ) and jax.process_count() > 1:
             raise ValueError(
                 "width ladders route on host-local pad masks and require a "
                 "single-process (single-controller) runtime; got "
                 f"jax.process_count()={jax.process_count()}"
             )
-        self._grid = {}
-        if self._obj_ladder or self._ocr_ladder:
-            from ..models.sa_m4c import with_widths
-
-            for ow in (*self._obj_ladder, None):
-                for cw in (*self._ocr_ladder, None):
-                    if (ow, cw) == (None, None):
-                        continue
-                    self._grid[(ow, cw)] = self._make_greedy(
-                        with_widths(self.model, n_obj=ow, n_ocr=cw)
-                    )
+        self._routing = _Routing(
+            obj_ladder, ocr_ladder, self._build_grid(obj_ladder, ocr_ladder)
+        )
+        assert auto_tune_every >= 0, auto_tune_every
+        self._auto_tune_every = int(auto_tune_every)
+        self._auto_min_speedup = float(auto_tune_min_speedup)
+        self._max_executables = int(max_executables)
+        self._tuner: Optional[threading.Thread] = None
+        self._last_tune_batch = 0
         self._batcher = threading.Thread(
             target=self._batch_loop, name="serving-batcher", daemon=True
         )
@@ -374,6 +412,25 @@ class ServingEngine:
         self._threads_started = False
 
     # ---- decode plumbing ------------------------------------------------
+
+    def _build_grid(self, obj_ladder, ocr_ladder, reuse=None) -> Dict:
+        """Decode fns for the (obj, ocr) width cross product, reusing any
+        already-built cells from ``reuse`` (an old grid) so an auto-tune
+        swap only constructs what is genuinely new."""
+        grid = {}
+        if not (obj_ladder or ocr_ladder):
+            return grid
+        from ..models.sa_m4c import with_widths
+
+        reuse = reuse or {}
+        for ow in (*obj_ladder, None):
+            for cw in (*ocr_ladder, None):
+                if (ow, cw) == (None, None):
+                    continue
+                grid[(ow, cw)] = reuse.get((ow, cw)) or self._make_greedy(
+                    with_widths(self.model, n_obj=ow, n_ocr=cw)
+                )
+        return grid
 
     def _make_greedy(self, model):
         from ..models.fast_decode import (
@@ -475,21 +532,22 @@ class ServingEngine:
     @property
     def ladder_widths(self) -> List[int]:
         """Ascending OCR-width ladder rungs (empty without --ocr_bucket)."""
-        return list(self._ocr_ladder)
+        return list(self._routing.ocr_ladder)
 
     @property
     def obj_ladder_widths(self) -> List[int]:
         """Ascending obj-width ladder rungs (empty without --obj_bucket)."""
-        return list(self._obj_ladder)
+        return list(self._routing.obj_ladder)
 
     @property
     def num_executables(self) -> int:
         """Size of the compiled (batch-bucket x obj-width x OCR-width) grid
         warmup touches: every bucket at every grid cell plus full width."""
+        r = self._routing
         return (
             len(self.buckets)
-            * (1 + len(self._obj_ladder))
-            * (1 + len(self._ocr_ladder))
+            * (1 + len(r.obj_ladder))
+            * (1 + len(r.ocr_ladder))
         )
 
     def _route_widths(self, samples: List[Dict]):
@@ -515,11 +573,12 @@ class ServingEngine:
                     return w
             return None
 
-        ow = pick(self._obj_ladder, obj_needs) if self._obj_ladder else None
-        cw = pick(self._ocr_ladder, ocr_needs) if self._ocr_ladder else None
+        r = self._routing  # one atomic snapshot per batch (auto-tune swaps)
+        ow = pick(r.obj_ladder, obj_needs) if r.obj_ladder else None
+        cw = pick(r.ocr_ladder, ocr_needs) if r.ocr_ladder else None
         if (ow, cw) == (None, None):
             return self._greedy, None, None
-        return self._grid[(ow, cw)], ow, cw
+        return r.grid[(ow, cw)], ow, cw
 
     def ladder_plan(self, max_rungs: int = 2) -> Dict:
         """Suggested ``ocr_buckets``/``obj_buckets`` ladders from the
@@ -560,6 +619,109 @@ class ServingEngine:
             }
         return plan_buckets(groups, svc, max_buckets)
 
+    # ---- live auto-tuning -------------------------------------------------
+
+    #: lifetime cap on routing swaps (see the flap guard in _maybe_autotune)
+    _MAX_ADOPTIONS = 8
+
+    def _maybe_autotune(self, batches: int):
+        """Batcher-thread hook: kick a background re-plan every
+        ``auto_tune_every`` served batches (never more than one tuner at a
+        time; the check runs outside any lock — ``batches`` is a snapshot)."""
+        with self.stats.lock:
+            adoptions = len(self.stats.autotune)
+        if (
+            batches - self._last_tune_batch < self._auto_tune_every
+            or adoptions >= self._MAX_ADOPTIONS  # flap guard: each swap may
+            # recompile cells, so a planner oscillating between near-equal
+            # ladders must not burn compile time forever
+            or self._stop.is_set()
+            or (self._tuner is not None and self._tuner.is_alive())
+        ):
+            return
+        self._last_tune_batch = batches
+        self._tuner = threading.Thread(
+            target=self._autotune_once, args=(batches,),
+            name="serving-tuner", daemon=True,
+        )
+        self._tuner.start()
+
+    def _pick_plan_ladders(self):
+        """(obj_ladder, ocr_ladder, {axis: expected_speedup}) chosen from
+        ``ladder_plan`` under the executable budget; an axis keeps its
+        current rungs when no planned ladder clears ``auto_tune_min_speedup``.
+        obj is considered first — the bigger measured lever (SCALING.md
+        "Obj-axis ladder")."""
+        plan = self.ladder_plan(max_rungs=2)
+        r = self._routing
+        chosen = {"obj": r.obj_ladder, "ocr": r.ocr_ladder}
+        expected = {}
+        n_buckets = len(self.buckets)
+        for axis, other in (("obj", "ocr"), ("ocr", "obj")):
+            best = None
+            for e in (plan.get(axis) or {}).get("ladders", []):
+                if e["expected_speedup"] < self._auto_min_speedup:
+                    continue
+                execs = (
+                    n_buckets
+                    * (1 + len(e["rungs"]))
+                    * (1 + len(chosen[other]))
+                )
+                if execs > self._max_executables:
+                    continue
+                if best is None or (
+                    e["expected_speedup"] > best["expected_speedup"]
+                ):
+                    best = e
+            if best is not None:
+                chosen[axis] = tuple(best["rungs"])
+                expected[axis] = best["expected_speedup"]
+        return chosen["obj"], chosen["ocr"], expected
+
+    def _autotune_once(self, at_batch: int):
+        """Tuner-thread body: re-plan, compile any new grid cells (warming
+        each at every bucket BEFORE it can be routed to — live traffic keeps
+        running on the old grid meanwhile), then swap the routing snapshot
+        atomically and log the adoption. Routing is answer-invariant, so a
+        swap can only change service time, never results. Never raises —
+        a tuner failure must not take serving down."""
+        try:
+            obj_l, ocr_l, expected = self._pick_plan_ladders()
+            r = self._routing
+            if (obj_l, ocr_l) == (r.obj_ladder, r.ocr_ladder):
+                return
+            t0 = time.monotonic()
+            grid = self._build_grid(obj_l, ocr_l, reuse=r.grid)
+            new_cells = [c for c in grid if c not in r.grid]
+            zero = self._zero_sample()
+            for b in self.buckets:
+                host = self._stack([zero], b)
+                for ow, cw in new_cells:
+                    if self._stop.is_set():
+                        return
+                    _, pred = grid[(ow, cw)](
+                        self.params, self._place(self._shrink(host, ow, cw))
+                    )
+                    np.asarray(pred)
+            if self._stop.is_set():
+                return
+            self._routing = _Routing(obj_l, ocr_l, grid)
+            event = {
+                "at_batch": at_batch,
+                "obj_ladder": list(obj_l),
+                "ocr_ladder": list(ocr_l),
+                "expected_speedup": {
+                    k: round(float(v), 3) for k, v in expected.items()
+                },
+                "new_cells": len(new_cells),
+                "warmup_s": round(time.monotonic() - t0, 2),
+            }
+            with self.stats.lock:
+                self.stats.autotune.append(event)
+            logger.info("auto-tune adopted %s", event)
+        except BaseException:
+            logger.exception("serving auto-tune failed; routing unchanged")
+
     def _shrink(self, host_batch: Dict, obj_w, ocr_w) -> Dict:
         """Slice a stacked host batch down to a (obj, ocr) grid cell (None
         = full width on that axis). OCR first, then obj — shrink_obj_batch
@@ -592,7 +754,9 @@ class ServingEngine:
         output is where remote-TPU runtimes settle one-time setup costs,
         and it must not land on a live request."""
         zero = self._zero_sample()
-        cells = list(self._grid.items()) + [((None, None), self._greedy)]
+        cells = list(self._routing.grid.items()) + [
+            ((None, None), self._greedy)
+        ]
         for b in self.buckets:
             host = self._stack([zero], b)
             # the full (batch-bucket x obj-width x OCR-width) executable grid
@@ -685,6 +849,8 @@ class ServingEngine:
         if self._threads_started:
             self._batcher.join(timeout=timeout)
             self._consumer.join(timeout=timeout)
+        if self._tuner is not None:
+            self._tuner.join(timeout=timeout)
         # fail anything still queued so callers never hang
         try:
             while True:
@@ -781,7 +947,10 @@ class ServingEngine:
                         self.stats.obj_width_occupancy[obj_w] = (
                             self.stats.obj_width_occupancy.get(obj_w, 0) + 1
                         )
+                    n_batches = self.stats.batches
                 self._results.put((group, pred_ids, time.monotonic()))
+                if self._auto_tune_every:
+                    self._maybe_autotune(n_batches)
             except BaseException as e:  # bad batch: isolate/fail, keep serving
                 self._resolve_group(group, e)
                 # resolved or re-enqueued here — no longer in flight (a

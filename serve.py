@@ -63,6 +63,14 @@ def get_args():
                    "(identical answers; the bigger measured lever — "
                    "SCALING.md). tools/suggest_ladder.py or the live "
                    "ladder_plan in the stats response suggest rungs")
+    p.add_argument("--auto_tune", type=int, default=0, metavar="N",
+                   help="re-plan the width ladders from live traffic every "
+                   "N served batches and ADOPT cost-model wins >= 5%%: new "
+                   "(bucket x width) cells compile on a background thread, "
+                   "then routing swaps atomically (identical answers — "
+                   "only service time changes); adoptions appear under "
+                   "'autotune' in the stats response. 0 = off (the "
+                   "ladder_plan suggestion stays advisory)")
     p.add_argument("--max_wait_ms", type=float, default=2.0)
     p.add_argument(
         "--decode_backend",
@@ -188,6 +196,7 @@ def build_engine(args):
             [int(w) for w in args.obj_bucket.split(",") if w]
             if args.obj_bucket else None
         ),
+        auto_tune_every=args.auto_tune,
     )
     t0 = time.time()
     engine.warmup()

@@ -795,3 +795,93 @@ def test_bucket_plan_from_live_traffic(setup):
             assert lad["expected_speedup"] >= 1.0
     else:  # every group coalesced to the same bucket: fit impossible
         assert "reason" in plan
+
+
+def test_auto_tune_adopts_ladder_same_answers(setup):
+    """auto_tune_every: under narrow traffic the engine re-plans its width
+    ladders from live histograms, compiles the new cells on a background
+    thread, and swaps routing atomically. Answers before/during/after the
+    swap are identical to an untuned engine's; the adoption is logged to
+    stats (and the TCP stats response); later batches route to the rungs."""
+    import time as _time
+
+    task, model, vocab, ds, params = setup
+    ds2 = SyntheticDataset(task, 16, num_answers_vocab=len(vocab))
+    ds2.pool["pad_obj_mask"][:, 3:] = 0.0  # every row: 3 obj boxes
+    ds2.pool["pad_ocr_mask"][:, 2:] = 0.0  # every row: 2 OCR slots
+    samples = _samples_from_dataset(ds2, 16)
+
+    def answers(engine, batch_of):
+        with engine:
+            out = []
+            for wave in batch_of:
+                futs = engine.submit_many(wave)
+                out.extend(f.result(timeout=60)["answer"] for f in futs)
+                if getattr(engine, "_auto_tune_every", 0):
+                    # let the tuner finish so the SECOND wave rides the
+                    # adopted grid (adoption itself is what's under test;
+                    # answer parity must hold regardless of timing)
+                    deadline = _time.monotonic() + 60
+                    while _time.monotonic() < deadline:
+                        with engine.stats.lock:
+                            if engine.stats.autotune:
+                                break
+                        if (engine._tuner is not None
+                                and not engine._tuner.is_alive()):
+                            break
+                        _time.sleep(0.01)
+            return out
+
+    waves = [samples[:8], samples[8:]]
+    base = ServingEngine(model, params, vocab, buckets=(1, 4),
+                         max_wait_ms=20.0)
+    base.warmup()
+    want = answers(base, waves)
+
+    tuned = ServingEngine(model, params, vocab, buckets=(1, 4),
+                          max_wait_ms=20.0, auto_tune_every=1)
+    tuned.warmup()
+    got = answers(tuned, waves)
+    assert got == want
+
+    s = tuned.stats.summary()
+    events = s.get("autotune", [])
+    assert events, "tuner never adopted despite uniformly narrow traffic"
+    ev = events[0]
+    # rungs lie on the observed needed widths (3 obj boxes, 2 OCR slots)
+    assert ev["obj_ladder"] == [3] and ev["ocr_ladder"] == [2]
+    assert ev["new_cells"] >= 1 and ev["warmup_s"] >= 0.0
+    assert ev["expected_speedup"]["obj"] >= 1.05
+    assert tuned.obj_ladder_widths == [3] and tuned.ladder_widths == [2]
+    # post-adoption batches actually routed narrow
+    assert s.get("obj_width_occupancy", {}).get(3, 0) >= 1
+    assert s.get("ocr_width_occupancy", {}).get(2, 0) >= 1
+
+
+def test_auto_tune_respects_executable_budget(setup):
+    """max_executables below any 1-rung grid: the tuner must never adopt
+    (and serving must keep answering) even when the plan clears the
+    speedup bar."""
+    task, model, vocab, ds, params = setup
+    ds2 = SyntheticDataset(task, 8, num_answers_vocab=len(vocab))
+    ds2.pool["pad_ocr_mask"][:, 2:] = 0.0
+    samples = _samples_from_dataset(ds2, 8)
+
+    base = ServingEngine(model, params, vocab, buckets=(1, 4),
+                         max_wait_ms=20.0)
+    base.warmup()
+    with base:
+        want = [f.result(timeout=60)["answer"]
+                for f in base.submit_many(samples)]
+
+    # 2 buckets x (1+1 rung) x 1 = 4 executables > budget 3 -> no adoption
+    capped = ServingEngine(model, params, vocab, buckets=(1, 4),
+                           max_wait_ms=20.0, auto_tune_every=1,
+                           max_executables=3)
+    capped.warmup()
+    with capped:
+        got = [f.result(timeout=60)["answer"]
+               for f in capped.submit_many(samples)]
+    assert got == want
+    assert "autotune" not in capped.stats.summary()
+    assert capped.ladder_widths == [] and capped.obj_ladder_widths == []

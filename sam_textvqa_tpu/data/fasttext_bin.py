@@ -279,15 +279,20 @@ class FastTextBin:
         return ids
 
     def get_word_vector(self, word: str) -> np.ndarray:
-        """Mean of the subword input rows (fasttext.cc ``getWordVector``);
-        zeros when a word yields no subwords at all."""
+        """Mean of the subword input rows in the library's exact float32
+        order (fasttext.cc ``getWordVector``: sequential ``vec.addRow``
+        float32 accumulation, then ``vec.mul(1.0 / ids.size())`` — the
+        scalar is computed in double and narrowed to float at the call).
+        A float64 mean differs in the last ulp; this matches the native
+        library bit-for-bit. Zeros when a word yields no subwords at all."""
         ids = self.get_subword_ids(word)
         if not ids:
             return np.zeros(self.get_dimension(), dtype=np.float32)
-        return np.asarray(
-            self.input_matrix[ids].mean(axis=0, dtype=np.float64),
-            dtype=np.float32,
-        )
+        acc = np.zeros(self.get_dimension(), dtype=np.float32)
+        for i in ids:  # sequential f32 adds, the library's order
+            acc += self.input_matrix[i]
+        acc *= np.float32(1.0 / len(ids))
+        return acc
 
 
 def load_fasttext_bin(path: str) -> FastTextBin:

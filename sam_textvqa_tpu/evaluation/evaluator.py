@@ -221,18 +221,14 @@ class Evaluator:
     @staticmethod
     def _normalize_ladder(bucket, max_width, axis: str):
         """``bucket`` (None, int, or sequence of ints) -> ascending tuple of
-        rung widths, validated against the model's full ``max_width``."""
-        if bucket is None:
-            return ()
-        widths = (
-            (bucket,)
-            if isinstance(bucket, (int, np.integer))
-            else tuple(bucket)
-        )
-        ladder = tuple(sorted({int(w) for w in widths}))
-        for w in ladder:
-            assert 0 < w < max_width, f"{axis} rung {w} vs full {max_width}"
-        return ladder
+        rung widths, validated against the model's full ``max_width``.
+        Delegates to the ONE canonical normalizer shared with the serving
+        engine (serving/ladder.py:normalize_ladder) — the two copies
+        previously diverged on ``bucket=0`` and used ``assert`` for
+        CLI-derived input."""
+        from ..serving.ladder import normalize_ladder
+
+        return normalize_ladder(bucket, max_width, axis)
 
     def _width_grid(self, obj_bucket, ocr_bucket, make_fn):
         """Normalize the two ladders and build the (obj_w, ocr_w) -> fn

@@ -49,6 +49,7 @@ import numpy as np
 from ..data.prefetch import cast_features_for_transfer
 from ..data.vocab import VocabDict
 from ..evaluation.metrics import decode_predictions
+from .ladder import normalize_ladder
 
 logger = logging.getLogger(__name__)
 
@@ -139,20 +140,10 @@ def build_sample(
     }
 
 
-def _normalize_ladder(bucket, max_width: int, axis: str):
-    """int | sequence | None -> ascending tuple of validated rungs (the
-    engine-side mirror of Evaluator._normalize_ladder)."""
-    if not bucket:
-        return ()
-    widths = (
-        (bucket,)
-        if isinstance(bucket, (int, np.integer))
-        else tuple(bucket)
-    )
-    ladder = tuple(sorted({int(w) for w in widths}))
-    for w in ladder:
-        assert 0 < w < max_width, f"{axis} rung {w} vs full {max_width}"
-    return ladder
+#: canonical rung normalizer/validator — shared with Evaluator (the two
+#: copies previously diverged on bucket=0; serving/ladder.py holds the one
+#: implementation now)
+_normalize_ladder = normalize_ladder
 
 
 @dataclass
@@ -719,7 +710,11 @@ class ServingEngine:
             with self.stats.lock:
                 self.stats.autotune.append(event)
             logger.info("auto-tune adopted %s", event)
-        except BaseException:
+        except Exception:
+            # Exception, NOT BaseException: the tuner thread must swallow
+            # planner/compile failures but let interpreter-shutdown signals
+            # (KeyboardInterrupt/SystemExit) propagate instead of logging
+            # them as a spurious "auto-tune failed".
             logger.exception("serving auto-tune failed; routing unchanged")
 
     def _shrink(self, host_batch: Dict, obj_w, ocr_w) -> Dict:

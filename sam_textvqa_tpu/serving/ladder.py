@@ -27,6 +27,55 @@ import numpy as np
 
 ALPHA = 1.2  # fit from SCALING.md measured ladder wins (module docstring)
 
+#: exhaustive `best_ladder` search caps its candidate pool at this many
+#: observed widths; per-sample serving histograms can carry 100+ distinct
+#: widths, and combinations(100+, 3) is minutes of host CPU for an offline
+#: planning tool. Above the cap, candidates are thinned to count-weighted
+#: quantile representatives (each still an OBSERVED width, so routing
+#: semantics are exact; only optimality becomes approximate).
+MAX_CANDIDATES = 24
+
+
+def normalize_ladder(bucket, max_width: int, axis: str):
+    """``bucket`` (None, int, or sequence of ints) -> ascending tuple of
+    validated rung widths. The ONE canonical normalizer shared by
+    ``Evaluator`` and ``ServingEngine`` (they previously diverged on
+    ``bucket=0``: the engine read it as "no ladder", the evaluator as an
+    invalid width). Only ``None`` or an empty sequence disables the ladder;
+    an explicit 0 is an invalid rung. Raises ``ValueError`` (not assert —
+    these come from CLI flags/config and must survive ``python -O``)."""
+    if bucket is None:
+        return ()
+    widths = (
+        (bucket,)
+        if isinstance(bucket, (int, np.integer))
+        else tuple(bucket)
+    )
+    ladder = tuple(sorted({int(w) for w in widths}))
+    for w in ladder:
+        if not 0 < w < max_width:
+            raise ValueError(
+                f"{axis} rung {w} out of range (0, {max_width}) "
+                f"— full width {max_width} needs no rung"
+            )
+    return ladder
+
+
+def _thin_candidates(counts: Dict[int, int], candidates: List[int]) -> List[int]:
+    """Count-weighted quantile representatives of ``candidates`` (ascending
+    observed widths), at most MAX_CANDIDATES of them. Always keeps the
+    extremes; picks the observed width at each interior quantile of the
+    needed-width distribution so dense regions keep more resolution."""
+    if len(candidates) <= MAX_CANDIDATES:
+        return candidates
+    weights = np.asarray([counts[w] for w in candidates], dtype=np.float64)
+    cum = np.cumsum(weights) / weights.sum()
+    qs = np.linspace(0.0, 1.0, MAX_CANDIDATES)
+    picked = sorted({candidates[int(np.searchsorted(cum, q))] for q in qs[:-1]})
+    if candidates[-1] not in picked:
+        picked.append(candidates[-1])
+    return picked
+
 
 def expected_time(counts: Dict[int, int], rungs, cost: Callable) -> float:
     """Mean service-time ratio when each observed width routes to the
@@ -46,8 +95,12 @@ def best_ladder(
     minimizing expected service time. Candidate rungs are the observed
     needed widths themselves — any rung between two observed values routes
     identically to the lower one but runs wider, so optima lie on observed
-    widths."""
-    candidates = sorted(w for w in counts if 0 < w < full)
+    widths. Pools above MAX_CANDIDATES are thinned to count-weighted
+    quantile representatives first (`_thin_candidates`) so per-sample
+    serving histograms don't blow the combinatorial search up."""
+    candidates = _thin_candidates(
+        counts, sorted(w for w in counts if 0 < w < full)
+    )
     results = []
     best_prev = 1.0
     for k in range(1, max_rungs + 1):

@@ -85,6 +85,18 @@ def test_bin_roundtrip_header(tiny_bin):
                                   vecs)
 
 
+def lib_mean(rows):
+    """The native library's exact accumulation order (fasttext.cc
+    getWordVector): sequential float32 row adds, then one float32 multiply
+    by 1/n — NOT a float64 mean (last-ulp different). get_word_vector must
+    match this bit-for-bit so the fallback agrees with machines that have
+    the native lib."""
+    acc = np.zeros_like(rows[0], dtype=np.float32)
+    for r in rows:
+        acc += np.asarray(r, np.float32)
+    return acc * np.float32(1.0 / len(rows))
+
+
 def test_get_word_vector_in_vocab_means_word_row_plus_ngrams(tiny_bin):
     """fasttext.cc getWordVector: mean over [word row] + bucket rows of
     every 3..6-gram of '<word>' at nwords + hash % bucket."""
@@ -95,8 +107,7 @@ def test_get_word_vector_in_vocab_means_word_row_plus_ngrams(tiny_bin):
         ngram_vecs[ft_hash(ng) % bucket]
         for ng in subword_ngrams("<hello>", 3, 6)
     ]
-    want = np.mean(rows, axis=0, dtype=np.float64).astype(np.float32)
-    np.testing.assert_allclose(ft.get_word_vector("hello"), want, atol=1e-6)
+    np.testing.assert_array_equal(ft.get_word_vector("hello"), lib_mean(rows))
 
 
 def test_get_word_vector_oov_uses_ngrams_only(tiny_bin):
@@ -107,8 +118,7 @@ def test_get_word_vector_oov_uses_ngrams_only(tiny_bin):
         ngram_vecs[ft_hash(ng) % bucket]
         for ng in subword_ngrams("<quux>", 3, 6)
     ]
-    want = np.mean(rows, axis=0, dtype=np.float64).astype(np.float32)
-    np.testing.assert_allclose(ft.get_word_vector("quux"), want, atol=1e-6)
+    np.testing.assert_array_equal(ft.get_word_vector("quux"), lib_mean(rows))
 
 
 def test_eos_never_takes_ngrams(tiny_bin):
@@ -128,8 +138,7 @@ def test_non_ascii_word_roundtrip(tiny_bin):
         ngram_vecs[ft_hash(ng) % bucket]
         for ng in subword_ngrams("<" + w + ">", 3, 6)
     ]
-    want = np.mean(rows, axis=0, dtype=np.float64).astype(np.float32)
-    np.testing.assert_allclose(ft.get_word_vector(w), want, atol=1e-6)
+    np.testing.assert_array_equal(ft.get_word_vector(w), lib_mean(rows))
 
 
 def test_maxn_zero_means_word_rows_only(tmp_path):

@@ -96,3 +96,57 @@ def test_plan_buckets_degrades_gracefully():
     plan = plan_buckets({4: 3}, {4: [5.0]}, 3)  # one bucket measured
     assert plan["top_bucket"] == 4
     assert "ladders" not in plan and "reason" in plan
+
+
+def test_normalize_ladder_is_canonical_and_raises_on_bad_rungs():
+    """ADVICE round 4: the engine and evaluator normalizers diverged on
+    bucket=0 and validated CLI input with bare assert (stripped under
+    python -O). One shared implementation now: only None / an empty
+    sequence disables the ladder; 0 and >= full-width rungs raise
+    ValueError from both entry points."""
+    import numpy as np
+    import pytest
+    from sam_textvqa_tpu.serving.ladder import normalize_ladder
+    from sam_textvqa_tpu.serving.engine import _normalize_ladder as eng
+    from sam_textvqa_tpu.evaluation.evaluator import Evaluator
+
+    for fn in (
+        normalize_ladder,
+        eng,
+        lambda b, w, a: Evaluator._normalize_ladder(b, w, a),
+    ):
+        assert fn(None, 50, "ocr") == ()
+        assert fn((), 50, "ocr") == ()
+        assert fn([], 50, "ocr") == ()
+        assert fn(np.int64(25), 50, "ocr") == (25,)
+        assert fn([30, 10, 30], 50, "ocr") == (10, 30)
+        with pytest.raises(ValueError):
+            fn(0, 50, "ocr")  # explicit 0 is an invalid width, not "off"
+        with pytest.raises(ValueError):
+            fn([10, 50], 50, "ocr")  # full width needs no rung
+        with pytest.raises(ValueError):
+            fn(-3, 50, "ocr")
+
+
+def test_best_ladder_thins_wide_candidate_pools():
+    """ADVICE round 4: per-sample serving histograms carry 100+ distinct
+    widths and combinations(100+, 3) took minutes. Pools above
+    MAX_CANDIDATES are thinned to count-weighted quantile representatives
+    (still observed widths), and the search still lands on/near the mass."""
+    from sam_textvqa_tpu.serving import ladder as L
+
+    def cost(w):
+        return 1.0 if w is None else (32 + (50 if w is None else w)) / 82.0
+
+    # 120 distinct widths; 90% of the mass sits at width <= 12
+    counts = {w: (200 if w <= 12 else 2) for w in range(1, 121)}
+    thinned = L._thin_candidates(counts, sorted(counts))
+    assert len(thinned) <= L.MAX_CANDIDATES + 1
+    assert set(thinned) <= set(counts)
+    assert thinned == sorted(thinned)
+    assert max(thinned) == 120  # extremes survive thinning
+
+    ladders = L.best_ladder(counts, 3, cost, full=150)
+    assert len(ladders) == 3
+    # the heavy low cluster must own a rung near its top
+    assert any(10 <= r <= 16 for r in ladders[-1]["rungs"])

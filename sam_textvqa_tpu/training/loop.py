@@ -110,10 +110,14 @@ def train(
     max_steps: Optional[int] = None,
     mesh=None,
     model_parallel: int = 1,
+    grad_accum: int = 1,
 ) -> TrainState:
     """Mesh-aware training driver. With ``mesh`` (or >1 local device), the
     batch is sharded over the ``data`` axis and — when ``model_parallel>1``
-    — weights over the ``model`` axis; XLA emits the ICI collectives."""
+    — weights over the ``model`` axis; XLA emits the ICI collectives.
+    ``grad_accum=N`` scans the batch as N microbatches per optimizer update
+    (same update up to float reassociation; ~N× less activation memory —
+    see training/step.py)."""
     optimizer = make_optimizer(params, task_cfg)
     state = create_train_state(params, optimizer)
 
@@ -172,7 +176,10 @@ def train(
             int(state.step), start_epoch,
         )
 
-    train_step = jax.jit(make_train_step(model, optimizer), donate_argnums=0)
+    train_step = jax.jit(
+        make_train_step(model, optimizer, grad_accum=grad_accum),
+        donate_argnums=0,
+    )
     rng = jax.random.PRNGKey(seed)
     evaluator = Evaluator(model, answer_vocab, metric=task_cfg.metric)
     special = answer_vocab.special_ids()

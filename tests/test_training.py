@@ -255,3 +255,57 @@ def test_resume_is_bit_deterministic(tmp_path):
             np.asarray(leaf_a), np.asarray(leaf_b),
             err_msg=f"resume diverged at {jax.tree_util.keystr(path_a)}",
         )
+
+
+def test_grad_accum_matches_full_batch_step():
+    """--grad_accum N must reproduce the full-batch update: the loss
+    normalizer is the GLOBAL unmasked count and clipping acts on the
+    averaged gradient, so microbatch accumulation differs only by float
+    reassociation (dropout is 0 in _tiny_task, making the paths
+    deterministic). Covers loss scalar, pred_ids row order (strided
+    split + inverse), and the multi-step parameter trajectory."""
+    task = _tiny_task()
+    model = SAM4C(params_cfg=SAM4CParams(task.mmt, task.text_bert, NUM_ANSWERS))
+    batch = {k: jnp.asarray(v) for k, v in
+             device_batch(make_batch(task, 8, num_answers_vocab=NUM_ANSWERS)).items()}
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    optimizer = make_optimizer(params, task)
+    rng = jax.random.PRNGKey(7)
+
+    trajectories = {}
+    for accum in (1, 4):
+        state = create_train_state(params, optimizer)
+        step = jax.jit(make_train_step(model, optimizer, grad_accum=accum))
+        losses, preds = [], []
+        for _ in range(3):
+            state, metrics = step(state, batch, rng)
+            losses.append(float(metrics["loss"]))
+            preds.append(np.asarray(metrics["pred_ids"]))
+        trajectories[accum] = (losses, preds, state.params)
+
+    l1, p1, params1 = trajectories[1]
+    l4, p4, params4 = trajectories[4]
+    np.testing.assert_allclose(l1, l4, rtol=2e-5)
+    for a, b in zip(p1, p4):
+        assert a.shape == b.shape
+        # argmax ids agree wherever logits aren't reassociation-tied
+        assert (a == b).mean() > 0.99
+    flat1 = jax.tree.leaves(params1)
+    flat4 = jax.tree.leaves(params4)
+    for a, b in zip(flat1, flat4):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        )
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    task = _tiny_task()
+    model = SAM4C(params_cfg=SAM4CParams(task.mmt, task.text_bert, NUM_ANSWERS))
+    batch = {k: jnp.asarray(v) for k, v in
+             device_batch(make_batch(task, 6, num_answers_vocab=NUM_ANSWERS)).items()}
+    params = model.init({"params": jax.random.PRNGKey(0)}, batch)["params"]
+    optimizer = make_optimizer(params, task)
+    state = create_train_state(params, optimizer)
+    step = jax.jit(make_train_step(model, optimizer, grad_accum=4))
+    with pytest.raises(ValueError, match="not divisible"):
+        step(state, batch, jax.random.PRNGKey(0))

@@ -103,6 +103,17 @@ def get_args():
                    help="tensor-parallel ways over a DP x TP device mesh "
                    "(SCALING.md: TP is the batch-1 latency lever); 1 = "
                    "single device / no mesh")
+    p.add_argument("--data_parallel", type=int, default=0, metavar="N",
+                   help="data-parallel ways (the serving THROUGHPUT "
+                   "lever): each coalesced batch row-shards over N "
+                   "devices with replicated weights. Default 0 = auto: "
+                   "all devices left over after --model_parallel when TP "
+                   "is on, else single-device. Buckets must divide by N")
+    p.add_argument("--compile_cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache directory "
+                   "(default: $SAM_COMPILE_CACHE if set); engine warmup "
+                   "over the bucket x width grid deserializes instead of "
+                   "recompiling on every restart")
     return p.parse_args()
 
 
@@ -148,37 +159,39 @@ def build_engine(args):
         )()
     buckets = tuple(int(b) for b in args.buckets.split(","))
     device_put = None
-    if args.model_parallel > 1:
+    tp = args.model_parallel
+    n_dev = len(jax.devices())
+    # default 0 = auto: soak up the leftover devices when TP is on
+    # (the pre---data_parallel behavior), single device otherwise
+    dp = args.data_parallel if args.data_parallel else (
+        max(1, n_dev // tp) if tp > 1 else 1
+    )
+    if dp > 1 or tp > 1:
         from sam_textvqa_tpu.parallel.mesh import (
             batch_sharding,
             make_mesh,
             shard_params,
         )
 
-        n_dev = len(jax.devices())
-        if args.model_parallel > n_dev or n_dev % args.model_parallel != 0:
+        if dp * tp > n_dev:
             raise SystemExit(
-                f"--model_parallel {args.model_parallel} must divide the "
-                f"{n_dev} available devices (otherwise the mesh reshape "
-                f"fails or devices silently idle)"
+                f"--data_parallel {dp} x --model_parallel {tp} needs "
+                f"{dp * tp} devices; only {n_dev} available"
             )
-        dp = max(1, n_dev // args.model_parallel)
         bad = [b for b in buckets if b % dp != 0]
         if bad:
             raise SystemExit(
-                f"buckets {bad} not divisible by dp={dp} "
-                f"({n_dev} devices / tp={args.model_parallel}); pick "
-                f"--buckets that dp divides, or raise --model_parallel"
+                f"buckets {bad} not divisible by dp={dp}; pick --buckets "
+                f"that dp divides, or change --data_parallel"
             )
-        mesh = make_mesh(dp * args.model_parallel,
-                         model_parallel=args.model_parallel)
+        mesh = make_mesh(dp * tp, model_parallel=tp)
         params = jax.device_put(
-            params, shard_params(params, mesh, tensor_parallel=True)
+            params, shard_params(params, mesh, tensor_parallel=tp > 1)
         )
         bs = batch_sharding(mesh)
         device_put = lambda host_batch: jax.device_put(host_batch, bs)
         logger.info("serving over mesh %s (dp=%d x tp=%d)",
-                    mesh.shape, dp, args.model_parallel)
+                    mesh.shape, dp, tp)
     engine = ServingEngine(
         model,
         params,
@@ -360,6 +373,9 @@ def main():
     args = get_args()
     if not args.demo and args.port is None:
         raise SystemExit("pick a mode: --demo N or --port P")
+    from sam_textvqa_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(args.compile_cache)  # before warmup's first jit
     task_cfg, vocab, engine = build_engine(args)
     try:
         if args.demo:

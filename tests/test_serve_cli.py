@@ -57,6 +57,31 @@ def test_serve_demo(tmp_path):
 
 
 @pytest.mark.slow
+def test_serve_demo_data_parallel(tmp_path):
+    """`serve.py --data_parallel 4`: the engine decodes each coalesced
+    batch row-sharded over a pure-DP mesh (XLA_FLAGS virtual devices);
+    the demo must complete with zero errors — answer parity vs a
+    replicated engine is covered in-process by
+    tests/test_serving.py::test_dp_sharded_engine_matches_replicated."""
+    env = _env()
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    cfg = _tiny_config(tmp_path)
+    r = subprocess.run(
+        [sys.executable, "serve.py", "--config", cfg, "--demo", "24",
+         "--concurrency", "4", "--buckets", "4,8", "--max_wait_ms", "5",
+         "--data_parallel", "4"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dp=4 x tp=1" in r.stderr
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["requests"] == 24
+    assert stats["errors"] == []
+
+
+@pytest.mark.slow
 def test_serve_tcp_endpoint(tmp_path):
     cfg = _tiny_config(tmp_path)
 

@@ -339,6 +339,44 @@ def test_tp_sharded_engine_matches_replicated(setup):
     assert got == want
 
 
+def test_dp_sharded_engine_matches_replicated(setup):
+    """ServingEngine over a pure-DP mesh (replicated params + the batch
+    row-sharded over all 8 devices) answers identically to the plain
+    single-device engine — the serving THROUGHPUT lever (`serve.py
+    --data_parallel`): each coalesced batch's decode fans out over the
+    data axis with XLA-inserted collectives, multiplying chip capacity on
+    a pod slice without any engine-code changes."""
+    from sam_textvqa_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        shard_params,
+    )
+
+    task, model, vocab, ds, params = setup
+    samples = _samples_from_dataset(ds, 8)
+
+    plain = ServingEngine(model, params, vocab, buckets=(8,),
+                          max_wait_ms=50.0)
+    plain.warmup()
+    with plain:
+        want = [f.result(timeout=60)["answer"]
+                for f in plain.submit_many(samples)]
+
+    mesh = make_mesh(8, model_parallel=1)  # dp=8, no TP
+    params_m = jax.device_put(params, shard_params(
+        params, mesh, tensor_parallel=False))
+    bs = batch_sharding(mesh)
+    engine = ServingEngine(
+        model, params_m, vocab, buckets=(8,), max_wait_ms=50.0,
+        device_put=lambda host_batch: jax.device_put(host_batch, bs),
+    )
+    engine.warmup()
+    with engine:
+        got = [f.result(timeout=60)["answer"]
+               for f in engine.submit_many(samples)]
+    assert got == want
+
+
 def test_submit_after_close_raises(setup):
     task, model, vocab, ds, params = setup
     engine = ServingEngine(model, params, vocab, buckets=(1,))

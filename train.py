@@ -104,6 +104,19 @@ def get_args():
              "the standard JAX multi-process setup); the mesh then spans "
              "all hosts' devices",
     )
+    parser.add_argument(
+        "--grad_accum", type=int, default=1, metavar="N",
+        help="accumulate gradients over N microbatches per optimizer "
+             "update (one lax.scan inside the jitted step; ~N× less "
+             "activation memory, same update up to float reassociation — "
+             "training/step.py). batch_size must divide by N",
+    )
+    parser.add_argument(
+        "--compile_cache", default=None, metavar="DIR",
+        help="persistent XLA compilation cache directory (default: "
+             "$SAM_COMPILE_CACHE if set); restarts skip recompiling every "
+             "previously-seen executable",
+    )
     return parser.parse_args()
 
 
@@ -262,6 +275,9 @@ def main():
     args = get_args()
     import jax
 
+    from sam_textvqa_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(args.compile_cache)  # before the first jit
     if args.multihost:
         jax.distributed.initialize()
     if args.prng == "rbg":
@@ -431,6 +447,7 @@ def main():
         resume=args.resume,
         max_steps=args.max_steps,
         model_parallel=args.model_parallel,
+        grad_accum=args.grad_accum,
     )
 
     # final eval with the trained weights (reference train.py:215-225)

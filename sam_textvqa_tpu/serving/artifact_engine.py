@@ -3,12 +3,14 @@
 ``ArtifactServingEngine`` is the deployment end of the AOT story
 (serving/artifact.py): the full online engine (dynamic batching, bucket
 padding, width-ladder routing, stats/SLOs, TCP endpoint via serve.py)
-running entirely on DESERIALIZED StableHLO executables. A serving host
-needs the artifact directory + an orbax checkpoint + the answer vocab —
-no model hyperparameters, no flax module construction, and no XLA
-compilation beyond loading the serialized cells (the reference cannot do
-this at all: its eval requires the whole repo importable,
-reference evaluator.py:28-63).
+running entirely on DESERIALIZED StableHLO cells. A serving host needs
+the artifact directory + an orbax checkpoint + the answer vocab — no
+model hyperparameters, no flax module construction, no Python tracing
+(the reference cannot do this at all: its eval requires the whole repo
+importable, reference evaluator.py:28-63). The backend still compiles
+the portable IR once per cell on first use; pair with --compile_cache
+to skip that too on restarts (271 s -> 57 s warmup measured on chip,
+SCALING.md "Artifact-backed serving").
 
 Routing is read straight off the manifest: batch buckets and the
 (obj x ocr) width ladders are whatever grid ``tools/export_decode.py``

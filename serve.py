@@ -50,8 +50,10 @@ def get_args():
                    help="orbax checkpoint dir (e.g. save/run1/best_model); "
                    "random init with a loud warning when absent")
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
-    p.add_argument("--buckets", default="1,8,32",
-                   help="comma-separated pre-compiled batch sizes")
+    p.add_argument("--buckets", default=None,
+                   help="comma-separated pre-compiled batch sizes "
+                   "(default 1,8,32; comes from the manifest with "
+                   "--artifact)")
     p.add_argument("--ocr_bucket", default=None, metavar="N[,N...]",
                    help="comma-separated OCR-width ladder: batches whose "
                    "requests all fit a rung run a narrower executable "
@@ -114,7 +116,63 @@ def get_args():
                    "(default: $SAM_COMPILE_CACHE if set); engine warmup "
                    "over the bucket x width grid deserializes instead of "
                    "recompiling on every restart")
+    p.add_argument("--artifact", default=None, metavar="DIR",
+                   help="serve from an AOT decode artifact "
+                   "(tools/export_decode.py output): the engine runs on "
+                   "deserialized StableHLO cells — no model construction, "
+                   "no tracing (pair with --compile_cache to also skip "
+                   "the backend compile: 271 s -> 57 s warmup measured). "
+                   "Buckets, width ladders, backend and beam size come "
+                   "from the manifest; requires --checkpoint (weights "
+                   "are a runtime argument)")
     return p.parse_args()
+
+
+def _engine_from_artifact_args(args, vocab):
+    """Artifact-backed serving (serving/artifact_engine.py): the manifest
+    IS the routing grid, so every flag that would reshape it is refused
+    loudly rather than silently ignored."""
+    incompatible = [
+        flag
+        for flag, on in (
+            ("--buckets", args.buckets),
+            ("--ocr_bucket", args.ocr_bucket),
+            ("--obj_bucket", args.obj_bucket),
+            ("--beam_size", args.beam_size != 1),
+            ("--decode_backend", args.decode_backend != "auto"),
+            ("--auto_tune", args.auto_tune),
+            ("--model_parallel", args.model_parallel > 1),
+            ("--data_parallel", args.data_parallel),
+        )
+        if on
+    ]
+    if incompatible:
+        raise SystemExit(
+            f"{', '.join(incompatible)} cannot be combined with "
+            "--artifact: buckets, width ladders, backend and beam size are "
+            "frozen in the manifest (and auto-tune cannot compile new "
+            "cells); re-export with tools/export_decode.py to change them"
+        )
+    if not args.checkpoint:
+        raise SystemExit(
+            "--artifact requires --checkpoint: the exported cells take "
+            "weights as a runtime argument"
+        )
+    from sam_textvqa_tpu.serving.artifact_engine import engine_from_artifact
+    from sam_textvqa_tpu.utils.checkpoint import restore_checkpoint
+
+    params = restore_checkpoint(args.checkpoint)["params"]
+    logger.info("restored params from %s", args.checkpoint)
+    engine = engine_from_artifact(
+        args.artifact, params, vocab, max_wait_ms=args.max_wait_ms
+    )
+    m = engine._artifact.manifest
+    logger.info(
+        "artifact engine %s: buckets=%s obj=%s ocr=%s backend=%s beam=%d",
+        args.artifact, engine.buckets, engine.obj_ladder_widths,
+        engine.ladder_widths, m.get("backend"), m.get("beam_size", 1),
+    )
+    return engine
 
 
 def build_engine(args):
@@ -128,6 +186,15 @@ def build_engine(args):
 
     task_cfg = load_task_config(args.config)
     vocab = build_vocab(task_cfg)
+    if args.artifact:
+        engine = _engine_from_artifact_args(args, vocab)
+        t0 = time.time()
+        engine.warmup()
+        logger.info(
+            "warmed %d deserialized bucket executables in %.1fs",
+            engine.num_executables, time.time() - t0,
+        )
+        return task_cfg, vocab, engine
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     model = SAM4C(
         params_cfg=SAM4CParams(task_cfg.mmt, task_cfg.text_bert, len(vocab)),
@@ -157,7 +224,7 @@ def build_engine(args):
                 deterministic=True,
             )["params"]
         )()
-    buckets = tuple(int(b) for b in args.buckets.split(","))
+    buckets = tuple(int(b) for b in (args.buckets or "1,8,32").split(","))
     device_put = None
     tp = args.model_parallel
     n_dev = len(jax.devices())

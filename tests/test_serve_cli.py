@@ -139,3 +139,56 @@ def test_serve_tcp_endpoint(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+@pytest.mark.slow
+def test_serve_from_artifact_e2e(tmp_path):
+    """Full deployment dress rehearsal: train a tiny checkpoint ->
+    tools/export_decode.py freezes the decode grid -> serve.py --artifact
+    serves the demo from the DESERIALIZED cells (no model construction).
+    Also: flags frozen by the manifest are refused loudly."""
+    env = _env()
+    cfg = _tiny_config(tmp_path)
+    r = subprocess.run(
+        [sys.executable, "train.py", "--config", cfg, "--tag", "art",
+         "--synthetic", "8", "--batch_size", "4", "--max_steps", "1",
+         "--num_train_epochs", "1"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    save_dir = tmp_path / "save" / "art"
+    ckpt = save_dir / "best_model"
+    if not ckpt.exists():
+        ckpt = save_dir / "last_state"
+    art = tmp_path / "artifact"
+    r = subprocess.run(
+        [sys.executable, "tools/export_decode.py", "--config", cfg,
+         "--checkpoint", str(ckpt), "--out", str(art),
+         "--buckets", "1,4", "--ocr_bucket", "3", "--dtype", "f32",
+         "--check"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (art / "manifest.json").exists()
+
+    r = subprocess.run(
+        [sys.executable, "serve.py", "--config", cfg,
+         "--artifact", str(art), "--checkpoint", str(ckpt),
+         "--demo", "12", "--concurrency", "4", "--max_wait_ms", "5"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "artifact engine" in r.stderr
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["requests"] == 12
+    assert stats["errors"] == []
+
+    # manifest-frozen flags are refused, not silently ignored
+    r = subprocess.run(
+        [sys.executable, "serve.py", "--config", cfg,
+         "--artifact", str(art), "--checkpoint", str(ckpt),
+         "--demo", "4", "--buckets", "1,8"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode != 0
+    assert "--buckets" in r.stderr and "manifest" in r.stderr

@@ -29,6 +29,11 @@ WARMUP = 3
 # (BENCH_BEAM, default 5)
 MODE = os.environ.get("BENCH_MODE", "train")
 BEAM = int(os.environ.get("BENCH_BEAM", "5"))
+# BENCH_ACCUM=N runs MODE=train with gradient accumulation (N microbatches
+# per update; same update up to reassociation, ~N× less activation memory
+# — SCALING.md "Gradient accumulation"); measured throughput-neutral at
+# batch 96 on v5e (tools/bench_grad_accum.py)
+ACCUM = int(os.environ.get("BENCH_ACCUM", "1"))
 # threefry by default: the rbg hardware PRNG faulted the round-1/2 libtpu
 # under sustained load; the current one survived a 300-step soak
 # (SCALING.md "PRNG notes"). BENCH_PRNG=rbg selects the fast path.
@@ -225,7 +230,9 @@ def main():
 
     optimizer = make_optimizer(params, cfg)
     state = create_train_state(params, optimizer)
-    train_step = jax.jit(make_train_step(model, optimizer), donate_argnums=0)
+    train_step = jax.jit(
+        make_train_step(model, optimizer, grad_accum=ACCUM), donate_argnums=0
+    )
     rng = jax.random.PRNGKey(0)
 
     compiled = train_step.lower(state, batch, rng).compile()

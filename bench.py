@@ -90,6 +90,13 @@ def _flops_per_step(compiled) -> float | None:
 def main():
     import jax
 
+    # honor $SAM_COMPILE_CACHE (utils/compile_cache.py): compile time is
+    # outside every timed loop below, so the cache changes wall time only —
+    # eval-mode decode compiles run many minutes through the tunnel
+    from sam_textvqa_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(None)
+
     if PRNG not in ("rbg", "threefry", "threefry_partitionable"):
         raise SystemExit(f"unknown BENCH_PRNG={PRNG!r}")
     if PRNG == "rbg":

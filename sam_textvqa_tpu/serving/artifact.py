@@ -188,6 +188,7 @@ def export_decode_artifact(
         "beam_size": beam_size,
         "bos": bos,
         "eos": eos,
+        "num_answers": int(model.params_cfg.num_answers),
         "model_dtype": str(np.dtype(model.dtype).name)
         if model.dtype is not None else "float32",
         "max_seq_length": mmt.max_seq_length,
@@ -250,15 +251,20 @@ class DecodeArtifact:
 
     def call(self, params, batch: Dict[str, np.ndarray]):
         from ..data.prefetch import cast_features_for_transfer
-        from ..evaluation.evaluator import shrink_obj_batch, shrink_ocr_batch
+        from ..evaluation.evaluator import (
+            needed_width,
+            shrink_obj_batch,
+            shrink_ocr_batch,
+        )
 
         rows = batch["question_indices"].shape[0]
-        obj_needed = int(
-            np.max(np.sum(np.asarray(batch["pad_obj_mask"]) > 0, axis=1))
-        ) if rows else 0
-        ocr_needed = int(
-            np.max(np.sum(np.asarray(batch["pad_ocr_mask"]) > 0, axis=1))
-        ) if rows else 0
+        # the CANONICAL routing primitive (last nonzero column + 1), same
+        # as the live engine: counting nonzero slots instead would route a
+        # non-contiguous pad mask (e.g. a client zeroed a rejected middle
+        # slot in place) to a too-narrow cell and silently truncate the
+        # real tokens past the gap
+        obj_needed = needed_width(batch["pad_obj_mask"]) if rows else 0
+        ocr_needed = needed_width(batch["pad_ocr_mask"]) if rows else 0
         b, ow, cw = self._pick(rows, obj_needed, ocr_needed)
         routed = {
             k: np.asarray(batch[k]) for k in BATCH_KEYS if k in batch

@@ -104,6 +104,24 @@ class ArtifactServingEngine(ServingEngine):
             raise ValueError(
                 f"artifact grid is not a full cross product; missing {missing}"
             )
+        # the cells decode with the bos/eos BAKED IN at export time; if the
+        # serving-side vocab disagrees, every answer would be decoded
+        # against the wrong word list with no error — fail loudly instead
+        # (the manifest records bos/eos exactly so consumers can check)
+        special = answer_vocab.special_ids()
+        if (int(m["bos"]), int(m["eos"])) != (special.bos, special.eos):
+            raise ValueError(
+                f"artifact was exported with bos={m['bos']} eos={m['eos']} "
+                f"but the serving vocab has bos={special.bos} "
+                f"eos={special.eos} — wrong --config/vocab for this artifact"
+            )
+        want_answers = m.get("num_answers")  # absent in pre-check manifests
+        if want_answers is not None and int(want_answers) != len(answer_vocab):
+            raise ValueError(
+                f"artifact was exported with a {want_answers}-word answer "
+                f"vocab but the serving vocab has {len(answer_vocab)} words "
+                f"— wrong --config/vocab for this artifact"
+            )
         self._artifact = artifact
         # one jit wrapper per cell: Exported.call re-stages on every plain
         # call; under jit it compiles (a cheap wrap of the deserialized

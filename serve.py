@@ -229,10 +229,25 @@ def build_engine(args):
     tp = args.model_parallel
     n_dev = len(jax.devices())
     # default 0 = auto: soak up the leftover devices when TP is on
-    # (the pre---data_parallel behavior), single device otherwise
+    # (the pre---data_parallel behavior), single device otherwise. Auto
+    # mode must USE every device — a tp that doesn't divide the slice
+    # would silently idle the remainder (the guard --data_parallel's
+    # introduction briefly dropped); an EXPLICIT dp may target fewer
+    # devices on purpose, but gets a loud warning.
+    if not args.data_parallel and tp > 1 and n_dev % tp != 0:
+        raise SystemExit(
+            f"--model_parallel {tp} must divide the {n_dev} available "
+            f"devices (otherwise devices silently idle); or pass an "
+            f"explicit --data_parallel"
+        )
     dp = args.data_parallel if args.data_parallel else (
         max(1, n_dev // tp) if tp > 1 else 1
     )
+    if args.data_parallel and dp * tp < n_dev:
+        logger.warning(
+            "dp=%d x tp=%d uses %d of %d devices; the rest idle",
+            dp, tp, dp * tp, n_dev,
+        )
     if dp > 1 or tp > 1:
         from sam_textvqa_tpu.parallel.mesh import (
             batch_sharding,

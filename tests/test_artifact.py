@@ -137,3 +137,30 @@ def test_artifact_raises_when_nothing_fits(artifact_dir, setup):
     art = load_decode_artifact(out)
     with pytest.raises(ValueError, match="no exported cell"):
         art._pick(9, 8, 6)  # 9 rows > largest exported bucket (4)
+
+
+def test_artifact_routing_uses_last_nonzero_not_count(artifact_dir, setup):
+    """A NON-CONTIGUOUS pad mask (client zeroed a middle slot in place)
+    must route by last-nonzero-column + 1, exactly like the live engine's
+    needed_width — counting nonzero slots would pick a too-narrow cell and
+    silently slice off the real token past the gap."""
+    task, model, vocab, ds, params = setup
+    out, _ = artifact_dir
+    art = load_decode_artifact(out)
+
+    batch = _device_batch(ds, 2)
+    # 2 real OCR slots but the last one at index 5 (> rung 4): needs full 6
+    batch["pad_ocr_mask"][:] = 0.0
+    batch["pad_ocr_mask"][:, 0] = 1.0
+    batch["pad_ocr_mask"][:, 5] = 1.0
+    special = vocab.special_ids()
+    live = jax.jit(
+        lambda p, b: greedy_decode_fast(
+            model, p, b, special.bos, backend="xla", eos_idx=special.eos
+        )
+    )
+    _, pred_live = live(params, dict(batch))
+    # the router must NOT pick the c4 cell (2 slots would fit by count)
+    assert art._pick(2, 8, 6) == (2, None, None)
+    _, pred_art = art.call(params, batch)
+    np.testing.assert_array_equal(np.asarray(pred_art), np.asarray(pred_live))

@@ -160,3 +160,15 @@ def test_artifact_engine_validates_requests(setup, artifact_dir):
             engine.submit(bad)
         # the good one still serves
         assert engine.submit(good).result(timeout=60)["answer"]
+
+
+def test_artifact_engine_rejects_mismatched_vocab(setup, artifact_dir):
+    """An artifact served with the wrong vocab would decode every answer
+    against the wrong word list; the manifest's bos/eos/num_answers make
+    the mismatch detectable at construction."""
+    from sam_textvqa_tpu.data.vocab import VocabDict
+
+    task, model, vocab, ds, params = setup
+    longer = VocabDict(list(vocab.word_list) + ["extra1", "extra2"])
+    with pytest.raises(ValueError, match="answer"):
+        engine_from_artifact(artifact_dir, params, longer)

@@ -192,3 +192,22 @@ def test_serve_from_artifact_e2e(tmp_path):
     )
     assert r.returncode != 0
     assert "--buckets" in r.stderr and "manifest" in r.stderr
+
+
+@pytest.mark.slow
+def test_serve_auto_dp_refuses_non_dividing_tp(tmp_path):
+    """Auto-dp mode must USE every device: --model_parallel 3 on 8 devices
+    would silently idle two, so it exits loudly (explicit --data_parallel
+    remains the escape hatch)."""
+    env = _env()
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    cfg = _tiny_config(tmp_path)
+    r = subprocess.run(
+        [sys.executable, "serve.py", "--config", cfg, "--demo", "4",
+         "--model_parallel", "3"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode != 0
+    assert "must divide" in r.stderr

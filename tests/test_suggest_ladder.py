@@ -136,7 +136,7 @@ def test_best_ladder_thins_wide_candidate_pools():
     from sam_textvqa_tpu.serving import ladder as L
 
     def cost(w):
-        return 1.0 if w is None else (32 + (50 if w is None else w)) / 82.0
+        return 1.0 if w is None else (32 + w) / 82.0
 
     # 120 distinct widths; 90% of the mass sits at width <= 12
     counts = {w: (200 if w <= 12 else 2) for w in range(1, 121)}

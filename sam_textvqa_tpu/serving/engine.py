@@ -337,8 +337,13 @@ class ServingEngine:
         auto_tune_min_speedup: float = 1.05,
         max_executables: int = 48,
     ):
-        assert buckets and all(b > 0 for b in buckets), buckets
-        assert beam_size >= 1, beam_size
+        # ValueError, not assert: these arrive from CLI flags/config and
+        # must survive ``python -O`` (same class as the ladder-normalizer
+        # advisor finding)
+        if not buckets or any(b <= 0 for b in buckets):
+            raise ValueError(f"buckets must be positive ints, got {buckets}")
+        if beam_size < 1:
+            raise ValueError(f"beam_size must be >= 1, got {beam_size}")
         self.beam_size = beam_size
         self.model = model
         # Host (numpy) param leaves would be re-uploaded by jit on EVERY
@@ -388,7 +393,10 @@ class ServingEngine:
         self._routing = _Routing(
             obj_ladder, ocr_ladder, self._build_grid(obj_ladder, ocr_ladder)
         )
-        assert auto_tune_every >= 0, auto_tune_every
+        if auto_tune_every < 0:
+            raise ValueError(
+                f"auto_tune_every must be >= 0, got {auto_tune_every}"
+            )
         self._auto_tune_every = int(auto_tune_every)
         self._auto_min_speedup = float(auto_tune_min_speedup)
         self._max_executables = int(max_executables)

@@ -33,6 +33,10 @@ from jax import export as jax_export
 logger = logging.getLogger(__name__)
 
 MANIFEST = "manifest.json"
+#: answer vocab embedded in the artifact dir (newline-delimited words,
+#: VocabDict's on-disk format) — makes a TCP serving host fully
+#: config-free: artifact + checkpoint is the whole deployment
+VOCAB_FILE = "answer_vocab.txt"
 _SUFFIX = ".stablehlo"
 
 #: exactly the exported calling convention — extra batch keys (targets,
@@ -138,8 +142,13 @@ def export_decode_artifact(
     backend: str = "xla",
     beam_size: int = 1,
     platforms: Optional[Sequence[str]] = None,
+    answer_vocab=None,
 ) -> Dict:
     """Export the decode grid to ``out_dir`` and return the manifest.
+
+    With ``answer_vocab`` (a VocabDict), its word list is embedded as
+    ``answer_vocab.txt`` so the artifact serves without any config file
+    (serve.py --artifact --port needs nothing else but the checkpoint).
 
     One serialized executable per (batch bucket) x (obj rung + full) x
     (ocr rung + full) cell — the same grid the live engine pre-compiles in
@@ -199,6 +208,14 @@ def export_decode_artifact(
     }
     with open(os.path.join(out_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=2)
+    if answer_vocab is not None:
+        if len(answer_vocab) != manifest["num_answers"]:
+            raise ValueError(
+                f"answer_vocab has {len(answer_vocab)} words but the model "
+                f"was built for {manifest['num_answers']}"
+            )
+        with open(os.path.join(out_dir, VOCAB_FILE), "w") as f:
+            f.write("\n".join(answer_vocab.word_list) + "\n")
     return manifest
 
 

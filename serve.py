@@ -45,7 +45,12 @@ logger = logging.getLogger("serve")
 
 def get_args():
     p = argparse.ArgumentParser()
-    p.add_argument("--config", required=True)
+    p.add_argument("--config", default=None,
+                   help="task YAML; optional with --artifact --port when "
+                   "the artifact embeds its answer vocab (config-free "
+                   "deployment: artifact dir + checkpoint). --demo always "
+                   "needs it (synthetic requests are built from the task "
+                   "shapes)")
     p.add_argument("--checkpoint", default="",
                    help="orbax checkpoint dir (e.g. save/run1/best_model); "
                    "random init with a loud warning when absent")
@@ -184,8 +189,30 @@ def build_engine(args):
     from sam_textvqa_tpu.serving import ServingEngine
     from train import build_vocab
 
-    task_cfg = load_task_config(args.config)
-    vocab = build_vocab(task_cfg)
+    if args.config:
+        task_cfg = load_task_config(args.config)
+        vocab = build_vocab(task_cfg)
+    elif args.artifact:
+        # config-free deployment: the artifact embeds its answer vocab
+        # (tools/export_decode.py writes answer_vocab.txt); featurization
+        # is the CLIENT's job in TCP mode, so the server needs nothing else
+        import os as _os
+
+        from sam_textvqa_tpu.data.vocab import VocabDict
+        from sam_textvqa_tpu.serving.artifact import VOCAB_FILE
+
+        vocab_path = _os.path.join(args.artifact, VOCAB_FILE)
+        if not _os.path.exists(vocab_path):
+            raise SystemExit(
+                f"{vocab_path} missing — this artifact predates embedded "
+                "vocabs; pass --config"
+            )
+        task_cfg = None
+        vocab = VocabDict(vocab_path)
+        logger.info("answer vocab (%d words) loaded from the artifact",
+                    len(vocab))
+    else:
+        raise SystemExit("--config is required without --artifact")
     if args.artifact:
         engine = _engine_from_artifact_args(args, vocab)
         t0 = time.time()
@@ -455,6 +482,11 @@ def main():
     args = get_args()
     if not args.demo and args.port is None:
         raise SystemExit("pick a mode: --demo N or --port P")
+    if args.demo and not args.config:
+        raise SystemExit(
+            "--demo builds synthetic requests from the task shapes and "
+            "needs --config (TCP mode with --artifact does not)"
+        )
     from sam_textvqa_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache(args.compile_cache)  # before warmup's first jit

@@ -164,3 +164,28 @@ def test_artifact_routing_uses_last_nonzero_not_count(artifact_dir, setup):
     assert art._pick(2, 8, 6) == (2, None, None)
     _, pred_art = art.call(params, batch)
     np.testing.assert_array_equal(np.asarray(pred_art), np.asarray(pred_live))
+
+
+def test_export_embeds_answer_vocab(setup, tmp_path):
+    """answer_vocab=... writes the word list into the artifact dir in
+    VocabDict's newline format (config-free serving); a wrong-sized vocab
+    is refused."""
+    from sam_textvqa_tpu.data.vocab import VocabDict
+    from sam_textvqa_tpu.serving.artifact import VOCAB_FILE
+
+    task, model, vocab, ds, params = setup
+    out = str(tmp_path / "with_vocab")
+    special = vocab.special_ids()
+    export_decode_artifact(
+        model, params, out, bos=special.bos, eos=special.eos,
+        buckets=(2,), answer_vocab=vocab,
+    )
+    reloaded = VocabDict(os.path.join(out, VOCAB_FILE))
+    assert reloaded.word_list == vocab.word_list
+
+    wrong = VocabDict(list(vocab.word_list) + ["extra"])
+    with pytest.raises(ValueError, match="words"):
+        export_decode_artifact(
+            model, params, str(tmp_path / "bad"), bos=special.bos,
+            eos=special.eos, buckets=(2,), answer_vocab=wrong,
+        )

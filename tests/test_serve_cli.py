@@ -193,6 +193,50 @@ def test_serve_from_artifact_e2e(tmp_path):
     assert r.returncode != 0
     assert "--buckets" in r.stderr and "manifest" in r.stderr
 
+    # CONFIG-FREE TCP serving: the artifact embeds its answer vocab, the
+    # client featurizes — the server needs only artifact + checkpoint
+    from sam_textvqa_tpu.config import load_task_config
+    from sam_textvqa_tpu.serving import build_sample
+
+    task_cfg = load_task_config(cfg)
+    rng = np.random.RandomState(0)
+    sample = build_sample(
+        task_cfg,
+        question_indices=np.array([101, 2054, 2003, 102, 0, 0, 0, 0]),
+        question_mask=np.array([1, 1, 1, 1, 0, 0, 0, 0], np.float32),
+        obj_features=rng.randn(4, 2048),
+        obj_boxes=np.tile([0.1, 0.1, 0.4, 0.4, 0.09], (4, 1)),
+        ocr_tokens=["stop", "7"],
+        ocr_features=rng.randn(2, 2048),
+        ocr_boxes=np.tile([0.5, 0.5, 0.8, 0.8, 0.09], (2, 1)),
+    )
+    npz_path = str(tmp_path / "req.npz")
+    tokens = sample.pop("ocr_tokens")
+    np.savez(npz_path, **sample, ocr_tokens=np.array(tokens))
+    proc = subprocess.Popen(
+        [sys.executable, "serve.py", "--artifact", str(art),
+         "--checkpoint", str(ckpt), "--port", "0", "--max_wait_ms", "1"],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        line = proc.stdout.readline()
+        deadline = time.time() + 600
+        while not line.strip() and time.time() < deadline:
+            assert proc.poll() is None, proc.stderr.read()[-2000:]
+            line = proc.stdout.readline()
+        port = json.loads(line)["listening"][1]
+        with socket.create_connection(("127.0.0.1", port), timeout=300) as s:
+            f = s.makefile("rw")
+            f.write(json.dumps({"id": 1, "npz": npz_path}) + "\n")
+            f.flush()
+            resp = json.loads(f.readline())
+            assert resp["id"] == 1 and "error" not in resp, resp
+            assert isinstance(resp["answer"], str)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
 
 @pytest.mark.slow
 def test_serve_auto_dp_refuses_non_dividing_tp(tmp_path):

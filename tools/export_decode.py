@@ -112,6 +112,7 @@ def main():
         backend=args.backend,
         beam_size=args.beam_size,
         platforms=args.platforms.split(",") if args.platforms else None,
+        answer_vocab=vocab,  # embedded: config-free TCP serving
     )
     total = sum(c["bytes"] for c in manifest["cells"])
     logger.info(

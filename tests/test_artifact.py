@@ -189,3 +189,39 @@ def test_export_embeds_answer_vocab(setup, tmp_path):
             model, params, str(tmp_path / "bad"), bos=special.bos,
             eos=special.eos, buckets=(2,), answer_vocab=wrong,
         )
+
+
+def test_beam_artifact_matches_live_beam_decode(setup, tmp_path):
+    """Beam cells (manifest beam_size > 1) reduce to the best beam ON
+    DEVICE exactly like the live engine's beam fn — exported bytes must
+    reproduce the live (scores, pred) pair bit-for-bit."""
+    import jax.numpy as jnp
+
+    from sam_textvqa_tpu.models.fast_decode import beam_search_decode_fast
+
+    task, model, vocab, ds, params = setup
+    special = vocab.special_ids()
+    out = str(tmp_path / "beam_art")
+    export_decode_artifact(
+        model, params, out, bos=special.bos, eos=special.eos,
+        buckets=(2,), beam_size=2,
+    )
+    art = load_decode_artifact(out)
+    assert art.manifest["beam_size"] == 2
+
+    @jax.jit
+    def live(p, b):
+        seqs, scores = beam_search_decode_fast(
+            model, p, b, 2, special.bos, special.eos, early_exit=True
+        )
+        best = jnp.argmax(scores, axis=1)
+        pred = jnp.take_along_axis(seqs, best[:, None, None], axis=1)[:, 0, 1:]
+        return scores, pred
+
+    batch = _device_batch(ds, 2)
+    scores_live, pred_live = live(params, dict(batch))
+    scores_art, pred_art = art.call(params, batch)
+    np.testing.assert_array_equal(np.asarray(pred_art), np.asarray(pred_live))
+    np.testing.assert_array_equal(
+        np.asarray(scores_art), np.asarray(scores_live)
+    )
